@@ -1,0 +1,161 @@
+"""Host (NumPy/cv2) post-processing: HV maps -> instance label map.
+
+This is the *oracle* implementation — algorithmically equivalent to the
+reference pipeline (models/hovernet/post_proc.py:26-90): threshold the NP
+probability map, Sobel-21 the min-max-normalised HV maps to get an energy
+landscape, derive markers, then marker-based watershed. The batched
+on-device implementation (ops/post_proc_device.py) is validated against
+this at instance level.
+
+skimage is not available in the TPU image; the watershed comes from
+ops/cc_np.py (priority-flood, skimage-compatible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import cv2
+from scipy import ndimage
+
+from .cc_np import (
+    binary_fill_holes,
+    binary_opening,
+    ellipse_structuring_element,
+    label as cc_label,
+    remove_small_objects,
+    watershed,
+)
+from ..utils.crops import get_bounding_box
+
+
+def _minmax_norm(x):
+    """cv2.normalize(..., NORM_MINMAX, alpha=0, beta=1) equivalent."""
+    x = x.astype(np.float32)
+    lo, hi = float(x.min()), float(x.max())
+    if hi - lo < 1e-12:
+        return np.zeros_like(x, np.float32)
+    return (x - lo) / (hi - lo)
+
+
+def proc_np_hv(pred: np.ndarray) -> np.ndarray:
+    """NP prob + HV maps (H, W, 3) -> int32 instance map.
+
+    Channel order: 0 = nuclei probability, 1 = horizontal, 2 = vertical
+    (post_proc.py:26-90).
+    """
+    pred = np.array(pred, dtype=np.float32)
+    blb_raw = pred[..., 0]
+    h_dir_raw = pred[..., 1]
+    v_dir_raw = pred[..., 2]
+
+    blb = (blb_raw >= 0.5).astype(np.int32)
+    blb = cc_label(blb)[0]
+    blb = remove_small_objects(blb, min_size=10)
+    blb[blb > 0] = 1
+
+    h_dir = _minmax_norm(h_dir_raw)
+    v_dir = _minmax_norm(v_dir_raw)
+
+    sobelh = cv2.Sobel(h_dir, cv2.CV_64F, 1, 0, ksize=21)
+    sobelv = cv2.Sobel(v_dir, cv2.CV_64F, 0, 1, ksize=21)
+    sobelh = 1 - _minmax_norm(sobelh)
+    sobelv = 1 - _minmax_norm(sobelv)
+
+    overall = np.maximum(sobelh, sobelv)
+    overall = overall - (1 - blb)
+    overall[overall < 0] = 0
+
+    dist = (1.0 - overall) * blb
+    dist = -cv2.GaussianBlur(dist, (3, 3), 0)
+
+    overall = (overall >= 0.4).astype(np.int32)
+    marker = blb - overall
+    marker[marker < 0] = 0
+    marker = binary_fill_holes(marker).astype(np.uint8)
+    selem = ellipse_structuring_element(5, 5)
+    marker = binary_opening(marker, selem).astype(np.uint8)
+    marker = cc_label(marker)[0]
+    marker = remove_small_objects(marker, min_size=10)
+
+    return watershed(dist, markers=marker, mask=blb).astype(np.int32)
+
+
+def extract_instance_info(pred_inst, pred_type=None):
+    """Per-instance bbox / centroid / contour (+ majority-vote type).
+
+    Matches the output contract of post_proc.py:94-186:
+    dict[id] = {bbox, centroid, contour, type, type_prob} with
+    coordinates in (x, y) for centroid/contour and bbox as
+    [[rmin, cmin], [rmax, cmax]].
+    """
+    inst_info = {}
+    inst_id_list = np.unique(pred_inst)[1:]
+    for inst_id in inst_id_list:
+        inst_mask_full = pred_inst == inst_id
+        rmin, rmax, cmin, cmax = get_bounding_box(inst_mask_full)
+        bbox = np.array([[rmin, cmin], [rmax, cmax]])
+        inst_mask = inst_mask_full[rmin:rmax, cmin:cmax].astype(np.uint8)
+
+        moments = cv2.moments(inst_mask)
+        contours = cv2.findContours(
+            inst_mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
+        )
+        contour = np.squeeze(contours[0][0].astype("int32"))
+        if contour.shape[0] < 3 or contour.ndim != 2:
+            continue
+        if moments["m00"] == 0:
+            continue
+        centroid = np.array(
+            [moments["m10"] / moments["m00"], moments["m01"] / moments["m00"]]
+        )
+        contour[:, 0] += cmin  # X
+        contour[:, 1] += rmin  # Y
+        centroid[0] += cmin
+        centroid[1] += rmin
+        inst_info[int(inst_id)] = {
+            "bbox": bbox,
+            "centroid": centroid,
+            "contour": contour,
+            "type_prob": None,
+            "type": None,
+        }
+
+    if pred_type is not None:
+        for inst_id, info in inst_info.items():
+            rmin, cmin = info["bbox"][0]
+            rmax, cmax = info["bbox"][1]
+            inst_crop = pred_inst[rmin:rmax, cmin:cmax] == inst_id
+            type_crop = pred_type[rmin:rmax, cmin:cmax]
+            values = type_crop[inst_crop]
+            type_ids, counts = np.unique(values, return_counts=True)
+            order = np.argsort(-counts)
+            inst_type = int(type_ids[order[0]])
+            if inst_type == 0 and len(type_ids) > 1:
+                inst_type = int(type_ids[order[1]])
+            count_map = dict(zip(type_ids.tolist(), counts.tolist()))
+            type_prob = count_map[inst_type] / (np.sum(inst_crop) + 1.0e-6)
+            info["type"] = inst_type
+            info["type_prob"] = float(type_prob)
+
+    return inst_info
+
+
+def process(pred_map, nr_types=None, return_centroids=False):
+    """Full tile post-processing (post_proc.py:94-186).
+
+    pred_map: (H, W, C) with channels [tp?, np, hv_x, hv_y].
+    Returns (inst_map int32, inst_info_dict | None).
+    """
+    pred_type = None
+    if nr_types is not None:
+        pred_type = pred_map[..., 0].astype(np.int32)
+        pred_inst_in = pred_map[..., 1:]
+    else:
+        pred_inst_in = pred_map
+
+    pred_inst = proc_np_hv(np.squeeze(pred_inst_in))
+
+    inst_info = None
+    if return_centroids or nr_types is not None:
+        inst_info = extract_instance_info(pred_inst, pred_type)
+    return pred_inst, inst_info
