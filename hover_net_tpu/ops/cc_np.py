@@ -82,7 +82,10 @@ def ellipse_structuring_element(h: int, w: int):
 
 
 def binary_opening(mask, selem):
-    er = ndimage.binary_erosion(mask, structure=selem, border_value=0)
+    """Opening with cv2.morphologyEx border semantics: erosion treats
+    outside-of-image as foreground (cv2 default borderValue=+inf),
+    dilation as background."""
+    er = ndimage.binary_erosion(mask, structure=selem, border_value=1)
     return ndimage.binary_dilation(er, structure=selem, border_value=0)
 
 

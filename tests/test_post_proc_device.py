@@ -1,0 +1,176 @@
+"""Device post-processing kernels vs host oracles (cv2/scipy)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hover_net_tpu.ops import filters
+from hover_net_tpu.ops.post_proc_device import (
+    connected_components,
+    fill_holes,
+    proc_np_hv_batch,
+    remove_small,
+    watershed_flood,
+)
+from hover_net_tpu.ops.post_proc_host import proc_np_hv
+from hover_net_tpu.ops.cc_np import ellipse_structuring_element
+from hover_net_tpu.ops.targets import gen_instance_hv_map
+from hover_net_tpu.metrics import get_fast_aji, remap_label
+
+
+def _disk(center, radius, shape):
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    return ((yy - center[0]) ** 2 + (xx - center[1]) ** 2) <= radius**2
+
+
+def test_sobel_kernels_match_cv2():
+    import cv2
+
+    deriv, smooth = filters.sobel_kernels(21)
+    kx, ky = cv2.getDerivKernels(1, 0, 21)
+    np.testing.assert_allclose(deriv, kx.ravel())
+    np.testing.assert_allclose(smooth, ky.ravel())
+
+
+def test_sobel_filter_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (40, 40)).astype(np.float32)
+    got_h = np.asarray(filters.sobel_h(jnp.asarray(img[None]), 21))[0]
+    got_v = np.asarray(filters.sobel_v(jnp.asarray(img[None]), 21))[0]
+    exp_h = cv2.Sobel(img, cv2.CV_64F, 1, 0, ksize=21)
+    exp_v = cv2.Sobel(img, cv2.CV_64F, 0, 1, ksize=21)
+    # device path is f32: error bounded by cancellation noise relative to
+    # the (unnormalised) kernel scale; downstream min-max norm erases it
+    np.testing.assert_allclose(got_h, exp_h, atol=1e-5 * np.abs(exp_h).max())
+    np.testing.assert_allclose(got_v, exp_v, atol=1e-5 * np.abs(exp_v).max())
+
+
+def test_gaussian_blur_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    got = np.asarray(filters.gaussian_blur_3x3(jnp.asarray(img[None])))[0]
+    exp = cv2.GaussianBlur(img, (3, 3), 0)
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_device_ccl_matches_scipy():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(2)
+    mask = rng.uniform(0, 1, (3, 48, 48)) > 0.62
+    got = np.asarray(connected_components(jnp.asarray(mask)))
+    for i in range(mask.shape[0]):
+        exp, n = ndimage.label(mask[i])
+        # same partition: remapped label images must be identical up to
+        # component naming -> compare via bijection check
+        g = got[i]
+        assert (g > 0).sum() == (exp > 0).sum()
+        assert len(np.unique(g)) == n + 1
+        # every scipy component maps to exactly one device label
+        for cid in range(1, n + 1):
+            vals = np.unique(g[exp == cid])
+            assert len(vals) == 1 and vals[0] > 0
+
+
+def test_device_fill_holes_matches_scipy():
+    from scipy import ndimage
+
+    mask = np.zeros((2, 32, 32), bool)
+    mask[0][_disk((16, 16), 10, (32, 32))] = True
+    mask[0][_disk((16, 16), 4, (32, 32))] = False  # hole
+    mask[1][:3, :] = True  # border-touching shape, no hole
+    mask[1][10:20, 10:12] = True
+    got = np.asarray(fill_holes(jnp.asarray(mask)))
+    for i in range(2):
+        exp = ndimage.binary_fill_holes(mask[i])
+        np.testing.assert_array_equal(got[i], exp)
+
+
+def test_device_morphology_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(3)
+    mask = (rng.uniform(0, 1, (40, 40)) > 0.4).astype(np.uint8)
+    selem = ellipse_structuring_element(5, 5)
+    got = np.asarray(
+        filters.dilate(filters.erode(jnp.asarray(mask[None]) > 0, selem), selem)
+    )[0]
+    exp = cv2.morphologyEx(mask, cv2.MORPH_OPEN, selem) > 0
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_remove_small_device():
+    lab = np.zeros((1, 20, 20), np.int32)
+    lab[0, 1:3, 1:3] = 5  # 4 px
+    lab[0, 10:16, 10:16] = 9  # 36 px
+    out = np.asarray(remove_small(jnp.asarray(lab), 10, 401))
+    assert set(np.unique(out)) == {0, 9}
+
+
+def test_watershed_flood_two_basins():
+    energy = np.zeros((1, 16, 16), np.int32)
+    energy[0, :, 7:9] = 5  # ridge
+    markers = np.zeros((1, 16, 16), np.int32)
+    markers[0, 8, 2] = 3
+    markers[0, 8, 13] = 7
+    mask = np.ones((1, 16, 16), bool)
+    out = np.asarray(
+        watershed_flood(jnp.asarray(energy), jnp.asarray(markers), jnp.asarray(mask), 8)
+    )[0]
+    assert out[8, 0] == 3 and out[8, 15] == 7
+    assert set(np.unique(out)) == {3, 7}
+
+
+def make_pred_map(inst_map):
+    hv = gen_instance_hv_map(inst_map.astype(np.int32), inst_map.shape)
+    np_prob = (inst_map > 0).astype(np.float32)
+    return np.dstack([np_prob, hv[..., 0], hv[..., 1]]).astype(np.float32)
+
+
+def synth_tile(rng, shape=(80, 80), n=5):
+    inst = np.zeros(shape, np.int32)
+    k = 1
+    for _ in range(n):
+        cy, cx = rng.integers(12, shape[0] - 12, 2)
+        rad = rng.integers(6, 11)
+        m = _disk((cy, cx), rad, shape) & (inst == 0)
+        if m.sum() > 30:
+            inst[m] = k
+            k += 1
+    return inst
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_device_pipeline_instance_parity_with_host(seed):
+    """End-to-end device pipeline vs host oracle: same instance count,
+    near-identical segmentation (AJI > 0.95) on synthetic tiles."""
+    rng = np.random.default_rng(seed)
+    inst = synth_tile(rng)
+    pred = make_pred_map(inst)
+
+    host_out = proc_np_hv(pred)
+    dev_out = np.asarray(proc_np_hv_batch(jnp.asarray(pred[None])))[0]
+
+    host_r = remap_label(host_out)
+    dev_r = remap_label(dev_out)
+    n_host = host_r.max()
+    n_dev = dev_r.max()
+    assert n_dev == n_host, f"instance count {n_dev} != host {n_host}"
+    if n_host > 0:
+        aji = get_fast_aji(host_r, dev_r)
+        assert aji > 0.95, f"AJI vs host oracle too low: {aji}"
+
+
+def test_device_pipeline_batched_consistency():
+    """Batch of tiles == per-tile results (no cross-sample leakage)."""
+    rng = np.random.default_rng(7)
+    tiles = [make_pred_map(synth_tile(rng)) for _ in range(3)]
+    batch = jnp.asarray(np.stack(tiles))
+    out_b = np.asarray(proc_np_hv_batch(batch))
+    for i, t in enumerate(tiles):
+        out_1 = np.asarray(proc_np_hv_batch(jnp.asarray(t[None])))[0]
+        np.testing.assert_array_equal(out_b[i], out_1)
