@@ -1,0 +1,152 @@
+"""Checkpoint I/O.
+
+Native format: msgpack (flax.serialization) of {params, batch_stats} plus
+a JSON sidecar with the model config — one file per phase/epoch, written
+atomically.
+
+Importer: converts reference PyTorch checkpoints (the `.tar` files whose
+'desc' entry holds the state dict, run_train.py:196-203 /
+infer/base.py:65-68) into our pytree via a deterministic name map built
+from the module structure — the analog of the reference's
+variables_tf2pytorch.csv converter, torch->JAX this time. Conv kernels
+transpose OIHW -> HWIO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+from flax import traverse_util
+
+from .hovernet import HoVerNet, HoVerNetConfig
+
+
+# ---------------------------------------------------------------- native
+
+def save_checkpoint(path: str, variables, extra: dict | None = None):
+    """Atomic msgpack write of the full variable collection."""
+    payload = {
+        "variables": jax.tree_util.tree_map(np.asarray, variables),
+        "extra": extra or {},
+    }
+    data = serialization.msgpack_serialize(payload)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload["variables"], payload.get("extra", {})
+
+
+# ------------------------------------------------------------- torch map
+
+def _bn_entries(torch_prefix, flax_path):
+    return [
+        (torch_prefix + ".weight", ("params",) + flax_path + ("scale",), None),
+        (torch_prefix + ".bias", ("params",) + flax_path + ("bias",), None),
+        (torch_prefix + ".running_mean", ("batch_stats",) + flax_path + ("mean",), None),
+        (torch_prefix + ".running_var", ("batch_stats",) + flax_path + ("var",), None),
+    ]
+
+
+def _conv_entries(torch_prefix, flax_path, bias=False):
+    rows = [(torch_prefix + ".weight", ("params",) + flax_path + ("kernel",), "OIHW")]
+    if bias:
+        rows.append((torch_prefix + ".bias", ("params",) + flax_path + ("bias",), None))
+    return rows
+
+
+def torch_name_map(cfg: HoVerNetConfig):
+    """[(torch_key, flax_path_tuple, transform)] for every variable.
+
+    torch keys follow the reference module tree (net_desc.py:27-99,
+    net_utils.py): e.g. 'conv0./.weight', 'd1.units.0.preact/bn.weight',
+    'decoder.np.u3.dense.units.3.conv1/bn.running_mean'.
+    """
+    rows = []
+    rows += _conv_entries("conv0./", ("conv0", "conv"))
+    rows += _bn_entries("conv0.bn", ("conv0", "bn"))
+
+    res_counts = {"d0": 3, "d1": 4, "d2": 6, "d3": 3}
+    for d, count in res_counts.items():
+        for k in range(count):
+            u = f"{d}.units.{k}"
+            fu = (d, f"unit{k}")
+            if k != 0:
+                rows += _bn_entries(f"{u}.preact/bn", fu + ("preact_bn",))
+            rows += _conv_entries(f"{u}.conv1", fu + ("conv1",))
+            rows += _bn_entries(f"{u}.conv1/bn", fu + ("conv1_bn",))
+            rows += _conv_entries(f"{u}.conv2", fu + ("conv2",))
+            rows += _bn_entries(f"{u}.conv2/bn", fu + ("conv2_bn",))
+            rows += _conv_entries(f"{u}.conv3", fu + ("conv3",))
+        rows += _conv_entries(f"{d}.shortcut", (d, "shortcut"))
+        rows += _bn_entries(f"{d}.blk_bna.bn", (d, "bn"))
+
+    rows += _conv_entries("conv_bot", ("conv_bot",))
+
+    dense_counts = {"u3": 8, "u2": 4}
+    for branch in cfg.branches:
+        b = f"decoder.{branch}"
+        fb = f"decoder_{branch}"
+        for lvl in ("u3", "u2"):
+            rows += _conv_entries(f"{b}.{lvl}.conva", (fb, f"{lvl}_conva"))
+            for k in range(dense_counts[lvl]):
+                du = f"{b}.{lvl}.dense.units.{k}"
+                fdu = (fb, f"{lvl}_dense", f"unit{k}")
+                rows += _bn_entries(f"{du}.preact_bna/bn", fdu + ("preact_bn",))
+                rows += _conv_entries(f"{du}.conv1", fdu + ("conv1",))
+                rows += _bn_entries(f"{du}.conv1/bn", fdu + ("conv1_bn",))
+                rows += _conv_entries(f"{du}.conv2", fdu + ("conv2",))
+            rows += _bn_entries(f"{b}.{lvl}.dense.blk_bna.bn", (fb, f"{lvl}_dense", "bn"))
+            rows += _conv_entries(f"{b}.{lvl}.convf", (fb, f"{lvl}_convf"))
+        rows += _conv_entries(f"{b}.u1.conva", (fb, "u1_conva"))
+        rows += _bn_entries(f"{b}.u0.bn", (fb, "u0_bn"))
+        rows += _conv_entries(f"{b}.u0.conv", (fb, "u0_conv"), bias=True)
+    return rows
+
+
+def import_torch_state_dict(state: Dict[str, np.ndarray], cfg: HoVerNetConfig):
+    """torch state dict (numpy values, 'module.' prefixes stripped) ->
+    {params, batch_stats} pytree."""
+    flat = {}
+    for torch_key, flax_path, transform in torch_name_map(cfg):
+        if torch_key not in state:
+            raise KeyError(f"missing torch key: {torch_key}")
+        v = np.asarray(state[torch_key])
+        if transform == "OIHW":
+            v = v.transpose(2, 3, 1, 0)  # -> HWIO
+        flat[flax_path] = v
+    return traverse_util.unflatten_dict(flat)
+
+
+def load_torch_tar(path: str, cfg: HoVerNetConfig):
+    """Load a reference '.tar' checkpoint ('desc' entry) and convert.
+
+    Strips the DataParallel 'module.' prefix (run_utils/utils.py:15-29).
+    """
+    import torch
+
+    payload = torch.load(path, map_location="cpu")
+    state = payload["desc"] if isinstance(payload, dict) and "desc" in payload else payload
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return import_torch_state_dict(out, cfg)

@@ -197,17 +197,24 @@ def watershed_flood(energy_q, markers, mask, num_levels: int = 256):
 
 
 @functools.partial(jax.jit, static_argnames=("num_levels", "marker_min_size", "blob_min_size"))
-def proc_np_hv_batch(pred, num_levels: int = 256, marker_min_size: int = 10,
-                     blob_min_size: int = 10):
+def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = 256,
+                     marker_min_size: int = 10, blob_min_size: int = 10):
     """Batched __proc_np_hv (post_proc.py:26-90): [N,H,W,3] -> [N,H,W] int32.
 
     Channels: 0 nuclei prob, 1 horizontal, 2 vertical.
+
+    valid_mask ([N,H,W] bool, optional): restricts nuclei to the source
+    image region when `pred` carries reflect-padding beyond it (the
+    padded area still feeds the Sobel window like cv2's reflected
+    border, but can't spawn instances).
     """
     pred = pred.astype(jnp.float32)
     n, h, w, _ = pred.shape
     num_bins = h * w + 1
 
     blb = pred[..., 0] >= 0.5
+    if valid_mask is not None:
+        blb = blb & valid_mask
     blb_lab = connected_components(blb)
     blb_lab = remove_small(blb_lab, blob_min_size, num_bins)
     blb = blb_lab > 0
