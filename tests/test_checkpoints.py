@@ -59,7 +59,11 @@ def test_torch_import_roundtrip_values():
         shape = np.asarray(flat[tuple(flax_path)]).shape
         if transform == "OIHW":
             h, w, i, o = shape
-            torch_state[torch_key] = rng.normal(size=(o, i, h, w)).astype(np.float32)
+            # small scale: unit-variance kernels overflow f32 through a
+            # 50-conv tower; this test only checks wiring
+            torch_state[torch_key] = (
+                0.01 * rng.normal(size=(o, i, h, w))
+            ).astype(np.float32)
         elif torch_key.endswith("running_var"):
             torch_state[torch_key] = rng.uniform(0.5, 1.5, size=shape).astype(np.float32)
         else:
