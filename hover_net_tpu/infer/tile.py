@@ -1,0 +1,165 @@
+"""Tile inference: directory of images -> mat/json/overlay/qupath outputs.
+
+Capability parity with infer/tile.py in the reference, re-architected as
+a device-resident pipeline:
+
+reference                              this framework
+---------                              --------------
+DataLoader workers slice patches    -> one host->HBM transfer of the
+from cached host images                padded image; patch windows are
+                                       gathered on device
+per-batch .cpu().numpy() round trip -> outputs stay in HBM; the full
+                                       prediction map is stitched on
+                                       device
+ProcessPoolExecutor running            batched on-device post-processing
+cv2/scipy watershed per tile        -> (ops/post_proc_device); only the
+                                       int32 instance map + uint8 type
+                                       map cross back to host
+"Silent Crash" future polling       -> per-image try/except with logged
+                                       traceback (host work is trivial)
+
+Output contract preserved: mat keys inst_map/inst_uid/inst_type/
+inst_centroid(+raw_map), overlay png, QuPath tsv, json nuc dict
+(infer/tile.py:170-212).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import pathlib
+import re
+import time
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.io as sio
+
+from ..data.tiling import prepare_tile_patching
+from ..ops.post_proc_device import proc_np_hv_batch
+from ..ops.post_proc_host import extract_instance_info, process as host_process
+from ..utils.qupath import to_qupath
+from ..utils.viz import overlay_instances
+from ..metrics import remap_label
+from . import base
+from .steps import assemble_grid, extract_patches
+
+logger = logging.getLogger("hover_net_tpu")
+
+
+def _rm_n_mkdir(path):
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+
+
+class TileInferManager(base.InferManagerBase):
+    """Runs tile-mode inference. Patch shapes follow the model mode
+    (270/80 original, 256/164 fast — run_infer.py:145-150)."""
+
+    def __init__(self, *args, device_post_proc: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.patch_input_shape = self.cfg.patch_input_shape
+        self.patch_output_shape = self.cfg.patch_output_shape
+        self.device_post_proc = device_post_proc
+
+    # ------------------------------------------------------------ core
+
+    def predict_image(self, img: np.ndarray):
+        """RGB uint8 image -> (pred_map [H,W,C] device array cropped to
+        src, inst_map int32, inst_info dict)."""
+        src_h, src_w = img.shape[:2]
+        win, step = self.patch_input_shape, self.patch_output_shape
+        pads, coords, grid = prepare_tile_patching((src_h, src_w), win, step)
+        padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
+                        mode="reflect")
+
+        dev_img = jnp.asarray(padded)
+        dev_coords = jnp.asarray(coords, jnp.int32)
+        patches = extract_patches(dev_img, dev_coords, win)
+        out = self.run_batches(patches)
+        full = assemble_grid(out, grid)  # [R*step, C*step, C]
+
+        if self.device_post_proc:
+            valid = jnp.zeros(full.shape[:2], bool).at[:src_h, :src_w].set(True)
+            if self.nr_types is not None:
+                seg = full[..., 1:4]
+            else:
+                seg = full[..., 0:3]
+            inst_dev = proc_np_hv_batch(seg[None], valid[None])[0]
+            inst_map = remap_label(np.asarray(inst_dev)[:src_h, :src_w])
+            pred_map = np.asarray(full[:src_h, :src_w])
+            pred_type = pred_map[..., 0].astype(np.int32) if self.nr_types else None
+            inst_info = extract_instance_info(inst_map, pred_type)
+        else:
+            pred_map = np.asarray(full[:src_h, :src_w])
+            inst_map, inst_info = host_process(
+                pred_map, nr_types=self.nr_types, return_centroids=True
+            )
+        return pred_map, inst_map.astype(np.int32), inst_info
+
+    # --------------------------------------------------------- outputs
+
+    def _save_outputs(self, name, img, pred_map, inst_map, inst_info,
+                      output_dir, draw_dot=False, save_qupath=False,
+                      save_raw_map=False):
+        nuc_vals = list(inst_info.values())
+        mat = {
+            "inst_map": inst_map,
+            "inst_uid": np.array(list(inst_info.keys()))[:, None],
+            "inst_centroid": np.array([v["centroid"] for v in nuc_vals])
+            if nuc_vals else np.zeros((0, 2)),
+        }
+        if self.nr_types is not None:
+            mat["inst_type"] = np.array([v["type"] for v in nuc_vals])[:, None] \
+                if nuc_vals else np.zeros((0, 1), np.int32)
+        if save_raw_map:
+            mat["raw_map"] = pred_map
+        sio.savemat(f"{output_dir}/mat/{name}.mat", mat)
+
+        overlaid = overlay_instances(
+            img, inst_info, draw_dot=draw_dot, type_colour=self.type_info,
+            line_thickness=2,
+        )
+        cv2.imwrite(f"{output_dir}/overlay/{name}.png",
+                    cv2.cvtColor(overlaid, cv2.COLOR_RGB2BGR))
+
+        if save_qupath and nuc_vals:
+            to_qupath(
+                f"{output_dir}/qupath/{name}.tsv",
+                np.array([v["centroid"] for v in nuc_vals]),
+                np.array([v["type"] for v in nuc_vals]),
+                self.type_info,
+            )
+        base.save_json(f"{output_dir}/json/{name}.json", inst_info, None)
+
+    # ------------------------------------------------------------- run
+
+    def process_file_list(self, input_dir, output_dir, draw_dot=False,
+                          save_qupath=False, save_raw_map=False):
+        pattern = re.sub(r"([\[\]])", "[\\1]", f"{input_dir}/*")
+        files = sorted(glob.glob(pattern))
+        assert files, f"no input files found in {input_dir}"
+
+        for sub in ("json", "mat", "overlay") + (("qupath",) if save_qupath else ()):
+            _rm_n_mkdir(f"{output_dir}/{sub}")
+
+        for path in files:
+            name = pathlib.Path(path).stem
+            t0 = time.perf_counter()
+            try:
+                img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                pred_map, inst_map, inst_info = self.predict_image(img)
+                self._save_outputs(
+                    name, img, pred_map, inst_map, inst_info, output_dir,
+                    draw_dot, save_qupath, save_raw_map,
+                )
+                logger.info("done %s (%d nuclei, %.2fs)", name,
+                            len(inst_info), time.perf_counter() - t0)
+            except Exception:
+                logger.exception("crash on %s", name)
