@@ -1,0 +1,138 @@
+"""Benchmark: 1kx1k tile instance-segmentation throughput per chip.
+
+Per-tile cost = device patch gather + HoVerNet forward (fast mode,
+reference width, bfloat16) + on-device stitch   [timed on real input]
+             + on-device watershed post-processing + int32 instance map
+               back to host                       [timed on a realistic
+               synthetic prediction stack — post-proc cost depends on
+               *content*, and an untrained network on noise produces
+               pathological masks no real workload resembles]
+
+Prints ONE json line. `vs_baseline` is measured against the north-star
+rate implied by BASELINE.md (40x ~100k x 80k WSI in < 5 min on v5e-8
+=> ~3.33 Mpx/s/chip = 3.33 tiles of 1k x 1k per second per chip); the
+reference publishes no throughput numbers (BASELINE.json published: {}).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+NORTH_STAR_TILES_PER_SEC = 8.0e9 / 300.0 / 8.0 / 1.0e6  # ~3.33
+
+
+def synth_pred_map(h, w, n_nuclei=1200, seed=0):
+    """Nuclei-like NP+HV prediction stack for post-proc timing."""
+    from hover_net_tpu.ops.targets import gen_instance_hv_map
+
+    rng = np.random.default_rng(seed)
+    inst = np.zeros((h, w), np.int32)
+    yy, xx = np.mgrid[-12:13, -12:13]
+    k = 1
+    for _ in range(n_nuclei):
+        cy, cx = rng.integers(14, h - 14), rng.integers(14, w - 14)
+        r = rng.integers(5, 11)
+        m = (yy**2 + xx**2) <= r * r
+        sub = inst[cy - 12 : cy + 13, cx - 12 : cx + 13]
+        sub[m & (sub == 0)] = k
+        k += 1
+    hv = gen_instance_hv_map(inst, inst.shape)
+    return np.dstack([(inst > 0).astype(np.float32), hv[..., 0], hv[..., 1]])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hover_net_tpu.models import HoVerNet, HoVerNetConfig
+    from hover_net_tpu.infer.steps import extract_patches, assemble_grid, infer_output
+    from hover_net_tpu.data.tiling import prepare_tile_patching
+    from hover_net_tpu.ops.post_proc_device import proc_np_hv_batch
+
+    cfg = HoVerNetConfig(mode="fast", nr_types=5, width=64, dtype=jnp.bfloat16)
+    model = HoVerNet(cfg)
+    size = 1000
+    win, step = cfg.patch_input_shape, cfg.patch_output_shape
+    pads, coords, grid = prepare_tile_patching((size, size), win, step)
+
+    # throughput bench: synthesize variables from shape metadata (real
+    # init values are irrelevant to timing; full init compiles slowly
+    # through the remote-compile tunnel)
+    dummy = jnp.zeros((1, win, win, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), dummy, train=False)
+    )
+
+    def synth(path, s):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        fill = 1.0 if name in ("scale", "var") else 0.01
+        return jnp.full(s.shape, fill, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(synth, shapes)
+    jax.block_until_ready(variables)
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
+                    mode="reflect")
+    coords_dev = jnp.asarray(coords, jnp.int32)
+
+    r, c = grid
+
+    @jax.jit
+    def fwd_fn(v, dev_img, coords):
+        patches = extract_patches(dev_img, coords, win)
+        out = infer_output(model, v, patches)
+        h, w, ch = out.shape[1], out.shape[2], out.shape[3]
+        return out.reshape(r, c, h, w, ch).transpose(0, 2, 1, 3, 4).reshape(
+            r * h, c * w, ch
+        )
+
+    full_h, full_w = grid[0] * step, grid[1] * step
+    pred = synth_pred_map(full_h, full_w)
+    pred_dev = jnp.asarray(pred[None])
+    valid = jnp.zeros((1, full_h, full_w), bool).at[:, :size, :size].set(True)
+
+    def dispatch_tile(padded_host):
+        """2 async dispatches: forward+stitch, then watershed post-proc
+        (on the fixed realistic pred stack)."""
+        dev_img = jnp.asarray(padded_host)  # host->HBM once per tile
+        full = fwd_fn(variables, dev_img, coords_dev)
+        inst = proc_np_hv_batch(pred_dev, valid)
+        return full, inst
+
+    def pull(handles):
+        full, inst = handles
+        np.asarray(full[..., 1])          # pred map slice to host
+        return np.asarray(inst[0, :size, :size])  # int32 instance map
+
+    # warmup/compile
+    for _ in range(2):
+        pull(dispatch_tile(padded))
+
+    # pipelined stream: keep 2 tiles in flight (hides the tunnel's
+    # ~100ms/dispatch launch latency, like the real tile/WSI pipelines)
+    iters = 10
+    t0 = time.perf_counter()
+    inflight = []
+    for _ in range(iters):
+        inflight.append(dispatch_tile(padded))
+        if len(inflight) >= 2:
+            pull(inflight.pop(0))
+    while inflight:
+        pull(inflight.pop(0))
+    dt = time.perf_counter() - t0
+
+    tiles_per_sec = iters / dt
+    print(json.dumps({
+        "metric": "1kx1k_tiles_per_sec_per_chip",
+        "value": round(tiles_per_sec, 4),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_sec / NORTH_STAR_TILES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

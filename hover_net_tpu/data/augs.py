@@ -1,0 +1,159 @@
+"""Training augmentations (host-side NumPy/cv2, per dataloader worker).
+
+Semantics track the reference pipeline (dataloader/train_loader.py:
+113-183 + dataloader/augs.py):
+
+shape: affine (scale 0.8-1.2 per axis, translate +-1%, shear +-5deg,
+rotate +-179deg, nearest-neighbour, cv2 backend) -> center crop ->
+flips. photometric: OneOf{gaussian blur, median blur, additive gaussian
+noise} then hue/saturation/brightness/contrast in random order.
+
+Deliberate fix (documented deviation): the reference's contrast aug
+returns the clipped *original* image (augs.py:97 clips `img` not `ret`),
+making it a no-op. We implement the obviously-intended behaviour.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ..utils.crops import cropping_center
+
+
+class AffineAug:
+    """imgaug.Affine-equivalent: one sampled matrix applied to image and
+    annotation with nearest-neighbour interpolation."""
+
+    def __init__(self, scale=(0.8, 1.2), translate_pct=(-0.01, 0.01),
+                 shear_deg=(-5, 5), rotate_deg=(-179, 179)):
+        self.scale = scale
+        self.translate_pct = translate_pct
+        self.shear_deg = shear_deg
+        self.rotate_deg = rotate_deg
+
+    def sample_matrix(self, rng, shape):
+        h, w = shape[:2]
+        sx = rng.uniform(*self.scale)
+        sy = rng.uniform(*self.scale)
+        tx = rng.uniform(*self.translate_pct) * w
+        ty = rng.uniform(*self.translate_pct) * h
+        rot = math.radians(rng.uniform(*self.rotate_deg))
+        shear = math.radians(rng.uniform(*self.shear_deg))
+        # center -> scale/rotate/shear -> translate -> back (imgaug order)
+        cx, cy = w / 2 - 0.5, h / 2 - 0.5
+        c1 = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]])
+        s = np.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1]])
+        r = np.array([[math.cos(rot), -math.sin(rot), 0],
+                      [math.sin(rot), math.cos(rot), 0], [0, 0, 1]])
+        sh = np.array([[1, -math.sin(shear), 0], [0, math.cos(shear), 0],
+                       [0, 0, 1]])
+        t = np.array([[1, 0, tx + cx], [0, 1, ty + cy], [0, 0, 1]])
+        return (t @ sh @ r @ s @ c1)[:2]
+
+    def apply(self, m, arr):
+        h, w = arr.shape[:2]
+        return cv2.warpAffine(
+            arr, m, (w, h), flags=cv2.INTER_NEAREST,
+            borderMode=cv2.BORDER_REFLECT_101,
+        )
+
+
+def gaussian_blur(rng, img, max_ksize=3):
+    k = rng.integers(0, max_ksize, 2) * 2 + 1
+    out = cv2.GaussianBlur(img, tuple(int(v) for v in k), sigmaX=0, sigmaY=0,
+                           borderType=cv2.BORDER_REPLICATE)
+    return out.reshape(img.shape).astype(np.uint8)
+
+
+def median_blur(rng, img, max_ksize=3):
+    k = int(rng.integers(0, max_ksize)) * 2 + 1
+    return cv2.medianBlur(img, k).astype(np.uint8)
+
+
+def additive_gaussian_noise(rng, img, scale=0.05 * 255, per_channel_p=0.5):
+    if rng.uniform() < per_channel_p:
+        noise = rng.normal(0, rng.uniform(0, scale), img.shape)
+    else:
+        noise = rng.normal(0, rng.uniform(0, scale), img.shape[:2])[..., None]
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+def add_to_hue(rng, img, rng_range=(-8, 8)):
+    hue = rng.uniform(*rng_range)
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    if hsv.dtype.itemsize == 1:
+        hsv[..., 0] = (hsv[..., 0] + hue) % 180
+    else:
+        hsv[..., 0] = (hsv[..., 0] + 2 * hue) % 360
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.uint8)
+
+
+def add_to_saturation(rng, img, rng_range=(-0.2, 0.2)):
+    value = 1 + rng.uniform(*rng_range)
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    out = img * value + (gray * (1 - value))[..., None]
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def add_to_brightness(rng, img, rng_range=(-26, 26)):
+    value = rng.uniform(*rng_range)
+    return np.clip(img.astype(np.float32) + value, 0, 255).astype(np.uint8)
+
+
+def add_to_contrast(rng, img, rng_range=(0.75, 1.25)):
+    value = rng.uniform(*rng_range)
+    mean = np.mean(img, axis=(0, 1), keepdims=True)
+    out = img * value + mean * (1 - value)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+class TrainAugmentor:
+    """Full train-mode augmentation chain; `valid` mode = center crop only."""
+
+    def __init__(self, input_shape, mode: str = "train", seed: int = 0):
+        self.input_shape = tuple(input_shape)
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+        self.affine = AffineAug()
+
+    def reseed(self, seed: int):
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, img: np.ndarray, ann: np.ndarray):
+        """img uint8 HWC, ann int32 HW[,C]; returns augmented pair with
+        img cropped to input_shape (ann stays full-size for target gen,
+        like the reference feeds the uncropped inst map to gen_targets).
+        """
+        rng = self.rng
+        if self.mode == "train":
+            m = self.affine.sample_matrix(rng, img.shape)
+            img = self.affine.apply(m, img)
+            if ann.ndim == 2:
+                ann = self.affine.apply(m, ann)
+            else:
+                ann = np.dstack([self.affine.apply(m, ann[..., i])
+                                 for i in range(ann.shape[-1])])
+            if rng.uniform() < 0.5:
+                img, ann = img[:, ::-1].copy(), ann[:, ::-1].copy()
+            if rng.uniform() < 0.5:
+                img, ann = img[::-1].copy(), ann[::-1].copy()
+
+            choice = rng.integers(0, 3)
+            if choice == 0:
+                img = gaussian_blur(rng, img)
+            elif choice == 1:
+                img = median_blur(rng, img)
+            else:
+                img = additive_gaussian_noise(rng, img)
+
+            photometric = [add_to_hue, add_to_saturation,
+                           add_to_brightness, add_to_contrast]
+            for i in rng.permutation(4):
+                img = photometric[i](rng, img)
+
+        img = cropping_center(img, self.input_shape)
+        return img, ann

@@ -58,6 +58,52 @@ def extract_patches(padded_img, coords, size: int):
     return jax.vmap(one)(coords)
 
 
+def make_tile_pipeline(model: HoVerNet, grid, src_hw, batch: int = 0):
+    """ONE jit-compiled dispatch per tile: padded image -> (pred_map,
+    inst_map, tp_map).
+
+    Fusing gather+forward+stitch+post-proc into a single executable
+    matters twice: XLA fuses across stage boundaries, and — measured on
+    the tunneled bench chip — every separate dispatch costs ~100ms of
+    launch latency, so a 5-dispatch pipeline is ~10x slower end-to-end
+    than this single-call one.
+
+    grid: (rows, cols) patch grid; src_hw: valid source size. batch>0
+    runs the forward in fixed-size sub-batches via lax.map to bound peak
+    activation memory (0 = single batch).
+    """
+    from ..ops.post_proc_device import proc_np_hv_batch
+
+    win = model.cfg.patch_input_shape
+    typed = model.cfg.nr_types is not None
+    r, c = grid
+
+    @jax.jit
+    def run(variables, padded_img, coords):
+        patches = extract_patches(padded_img, coords, win)
+        if batch and batch < patches.shape[0]:
+            k = patches.shape[0]
+            pad_k = (-k) % batch
+            p = jnp.concatenate(
+                [patches, jnp.zeros((pad_k,) + patches.shape[1:], patches.dtype)]
+            ).reshape(-1, batch, *patches.shape[1:])
+            out = jax.lax.map(lambda x: infer_output(model, variables, x), p)
+            out = out.reshape(-1, *out.shape[2:])[:k]
+        else:
+            out = infer_output(model, variables, patches)
+        h, w, ch = out.shape[1], out.shape[2], out.shape[3]
+        full = out.reshape(r, c, h, w, ch).transpose(0, 2, 1, 3, 4)
+        full = full.reshape(r * h, c * w, ch)
+        valid = jnp.zeros(full.shape[:2], bool).at[: src_hw[0], : src_hw[1]].set(True)
+        seg = full[..., 1:4] if typed else full[..., 0:3]
+        inst = proc_np_hv_batch(seg[None], valid[None])[0]
+        tp_map = (full[..., 0].astype(jnp.int32) if typed
+                  else jnp.zeros(full.shape[:2], jnp.int32))
+        return full, inst, tp_map
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "valid_hw"))
 def assemble_grid(patch_out, grid, valid_hw=None):
     """[R*C, h, w, ch] patch outputs -> [R*h, C*w, ch] map (row-major

@@ -67,40 +67,60 @@ class TileInferManager(base.InferManagerBase):
         self.patch_input_shape = self.cfg.patch_input_shape
         self.patch_output_shape = self.cfg.patch_output_shape
         self.device_post_proc = device_post_proc
+        self._pipelines = {}
 
     # ------------------------------------------------------------ core
 
-    def predict_image(self, img: np.ndarray):
-        """RGB uint8 image -> (pred_map [H,W,C] device array cropped to
-        src, inst_map int32, inst_info dict)."""
+    def _pipeline_for(self, grid, src_hw):
+        key = (grid, src_hw)
+        if key not in self._pipelines:
+            from .steps import make_tile_pipeline
+
+            self._pipelines[key] = make_tile_pipeline(
+                self.model, grid, src_hw, batch=self.batch_size
+            )
+        return self._pipelines[key]
+
+    def predict_image_async(self, img: np.ndarray):
+        """Dispatch one image's full pipeline (single jit call); returns
+        device arrays (full_map, inst, tp) without blocking."""
         src_h, src_w = img.shape[:2]
         win, step = self.patch_input_shape, self.patch_output_shape
         pads, coords, grid = prepare_tile_patching((src_h, src_w), win, step)
         padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
                         mode="reflect")
+        run = self._pipeline_for(grid, (src_h, src_w))
+        return run(self.variables, jnp.asarray(padded), jnp.asarray(coords, jnp.int32))
 
-        dev_img = jnp.asarray(padded)
-        dev_coords = jnp.asarray(coords, jnp.int32)
-        patches = extract_patches(dev_img, dev_coords, win)
-        out = self.run_batches(patches)
-        full = assemble_grid(out, grid)  # [R*step, C*step, C]
+    def finalize_prediction(self, img, dev_out):
+        """Pull device results, remap ids, extract instance info."""
+        src_h, src_w = img.shape[:2]
+        full, inst_dev, tp_dev = dev_out
+        inst_map = remap_label(np.asarray(inst_dev)[:src_h, :src_w])
+        pred_type = np.asarray(tp_dev)[:src_h, :src_w] if self.nr_types else None
+        inst_info = extract_instance_info(inst_map, pred_type)
+        pred_map = np.asarray(full[:src_h, :src_w]).astype(np.float32)
+        return pred_map, inst_map.astype(np.int32), inst_info
 
+    def predict_image(self, img: np.ndarray):
+        """RGB uint8 image -> (pred_map [H,W,C] cropped to src,
+        inst_map int32, inst_info dict)."""
         if self.device_post_proc:
-            valid = jnp.zeros(full.shape[:2], bool).at[:src_h, :src_w].set(True)
-            if self.nr_types is not None:
-                seg = full[..., 1:4]
-            else:
-                seg = full[..., 0:3]
-            inst_dev = proc_np_hv_batch(seg[None], valid[None])[0]
-            inst_map = remap_label(np.asarray(inst_dev)[:src_h, :src_w])
-            pred_map = np.asarray(full[:src_h, :src_w])
-            pred_type = pred_map[..., 0].astype(np.int32) if self.nr_types else None
-            inst_info = extract_instance_info(inst_map, pred_type)
-        else:
-            pred_map = np.asarray(full[:src_h, :src_w])
-            inst_map, inst_info = host_process(
-                pred_map, nr_types=self.nr_types, return_centroids=True
-            )
+            return self.finalize_prediction(img, self.predict_image_async(img))
+        # host post-proc fallback / oracle path
+        src_h, src_w = img.shape[:2]
+        win, step = self.patch_input_shape, self.patch_output_shape
+        pads, coords, grid = prepare_tile_patching((src_h, src_w), win, step)
+        padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
+                        mode="reflect")
+        patches = extract_patches(jnp.asarray(padded),
+                                  jnp.asarray(coords, jnp.int32), win)
+        out = self.run_batches(patches)
+        full = assemble_grid(out, grid)
+        pred_map = np.asarray(full[:src_h, :src_w]).astype(np.float32)
+        inst_map, inst_info = host_process(
+            pred_map, nr_types=self.nr_types, return_centroids=True
+        )
         return pred_map, inst_map.astype(np.int32), inst_info
 
     # --------------------------------------------------------- outputs
@@ -149,17 +169,38 @@ class TileInferManager(base.InferManagerBase):
         for sub in ("json", "mat", "overlay") + (("qupath",) if save_qupath else ()):
             _rm_n_mkdir(f"{output_dir}/{sub}")
 
-        for path in files:
-            name = pathlib.Path(path).stem
-            t0 = time.perf_counter()
-            try:
-                img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-                pred_map, inst_map, inst_info = self.predict_image(img)
-                self._save_outputs(
-                    name, img, pred_map, inst_map, inst_info, output_dir,
-                    draw_dot, save_qupath, save_raw_map,
-                )
-                logger.info("done %s (%d nuclei, %.2fs)", name,
-                            len(inst_info), time.perf_counter() - t0)
-            except Exception:
-                logger.exception("crash on %s", name)
+        # software pipeline: dispatch image k+1's device work before
+        # finalizing image k (hides dispatch + transfer latency)
+        pending = []  # (name, img, dev_out, t0)
+        for path in files + [None]:
+            if path is not None:
+                name = pathlib.Path(path).stem
+                t0 = time.perf_counter()
+                try:
+                    img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                    if self.device_post_proc:
+                        pending.append((name, img, self.predict_image_async(img), t0))
+                    else:
+                        pred_map, inst_map, inst_info = self.predict_image(img)
+                        self._save_outputs(name, img, pred_map, inst_map,
+                                           inst_info, output_dir, draw_dot,
+                                           save_qupath, save_raw_map)
+                        logger.info("done %s (%d nuclei, %.2fs)", name,
+                                    len(inst_info), time.perf_counter() - t0)
+                        continue
+                except Exception:
+                    logger.exception("crash on %s", name)
+                    continue
+            while pending and (path is None or len(pending) >= 2):
+                name, img, dev_out, t0 = pending.pop(0)
+                try:
+                    pred_map, inst_map, inst_info = self.finalize_prediction(
+                        img, dev_out
+                    )
+                    self._save_outputs(name, img, pred_map, inst_map,
+                                       inst_info, output_dir, draw_dot,
+                                       save_qupath, save_raw_map)
+                    logger.info("done %s (%d nuclei, %.2fs)", name,
+                                len(inst_info), time.perf_counter() - t0)
+                except Exception:
+                    logger.exception("crash on %s", name)

@@ -45,7 +45,10 @@ def mse_loss(true, pred):
 
 @functools.lru_cache(maxsize=None)
 def _sobel_like_kernels(size: int):
-    """h/(h^2+v^2) 'Sobel-like' gradient kernels (utils.py:124-145)."""
+    """h/(h^2+v^2) 'Sobel-like' gradient kernels (utils.py:124-145).
+
+    Returns NumPy arrays (safe to cache across jit traces).
+    """
     assert size % 2 == 1
     import numpy as np
 
@@ -54,7 +57,7 @@ def _sobel_like_kernels(size: int):
     h, v = np.meshgrid(rng, rng, indexing="ij")
     kernel_h = h / (h * h + v * v + 1.0e-15)
     kernel_v = v / (h * h + v * v + 1.0e-15)
-    return jnp.asarray(kernel_h), jnp.asarray(kernel_v)
+    return kernel_h, kernel_v
 
 
 def _conv2d_single(x_nhw, kernel):
