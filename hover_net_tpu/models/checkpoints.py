@@ -30,9 +30,12 @@ from .hovernet import HoVerNet, HoVerNetConfig
 # ---------------------------------------------------------------- native
 
 def save_checkpoint(path: str, variables, extra: dict | None = None):
-    """Atomic msgpack write of the full variable collection."""
+    """Atomic msgpack write of any pytree (tuples/namedtuples — e.g.
+    optax states — go through flax's state-dict conversion)."""
     payload = {
-        "variables": jax.tree_util.tree_map(np.asarray, variables),
+        "variables": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables)
+        ),
         "extra": extra or {},
     }
     data = serialization.msgpack_serialize(payload)
@@ -48,10 +51,15 @@ def save_checkpoint(path: str, variables, extra: dict | None = None):
             os.unlink(tmp)
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, target=None):
+    """Load a checkpoint; pass `target` (a template pytree, e.g.
+    `tx.init(params)`) to restore non-dict structures like optax states."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    return payload["variables"], payload.get("extra", {})
+    variables = payload["variables"]
+    if target is not None:
+        variables = serialization.from_state_dict(target, variables)
+    return variables, payload.get("extra", {})
 
 
 # ------------------------------------------------------------- torch map

@@ -89,16 +89,23 @@ def make_train_step(model: HoVerNet, tx, freeze_encoder: bool = False,
             total, terms = hovernet_loss(
                 pred, true, true_np_onehot[..., 1], weights=loss_weights
             )
-            return total, (terms, mutated["batch_stats"])
+            # 2-sample prediction snapshots for the epoch viz panel
+            # (run_desc.py:87-108); tiny, stays on device until pulled
+            viz = {"np": pred["np"][:2, ..., 1], "hv": pred["hv"][:2]}
+            if "tp" in pred:
+                viz["tp"] = jnp.argmax(pred["tp"][:2], axis=-1)
+            return total, (terms, mutated["batch_stats"], viz)
 
-        grads, (terms, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (terms, new_stats, viz) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
             step=state.step + 1,
         )
-        return new_state, terms
+        return new_state, (terms, viz)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
@@ -164,7 +171,7 @@ def dryrun_train_step(n_devices: int) -> None:
         state = jax.device_put(state, replicated(mesh))
         dev_batch = shard_batch(mesh, batch)
         step = make_train_step(model, tx, freeze_encoder=False, mesh=mesh)
-        new_state, terms = step(state, dev_batch)
+        new_state, (terms, _viz) = step(state, dev_batch)
         jax.block_until_ready(new_state.params)
     loss = float(terms["overall_loss"])
     assert jnp.isfinite(loss), "non-finite loss in dryrun"

@@ -42,7 +42,7 @@ def test_sharded_step_matches_single_device():
             state = jax.device_put(state, replicated(mesh))
             dev_batch = shard_batch(mesh, batch)
             step = make_train_step(model, tx, mesh=mesh)
-            _, terms = step(state, dev_batch)
+            _, (terms, _viz) = step(state, dev_batch)
             losses[n_dev] = float(terms["overall_loss"])
     np.testing.assert_allclose(losses[1], losses[8], rtol=1e-4)
 
@@ -64,7 +64,7 @@ def test_train_step_learns_on_tiny_batch():
     step = make_train_step(model, tx)
     first = None
     for i in range(8):
-        state, terms = step(state, batch)
+        state, (terms, _viz) = step(state, batch)
         if first is None:
             first = float(terms["overall_loss"])
     last = float(terms["overall_loss"])
