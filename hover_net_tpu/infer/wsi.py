@@ -1,0 +1,415 @@
+"""WSI inference: OpenSlide (or pseudo-slide) -> per-nucleus JSON.
+
+Capability parity with infer/wsi.py in the reference, re-architected:
+
+reference                                this framework
+---------                                --------------
+cache_chunk.npy + torch DataLoader    -> one host->HBM push of the chunk
+workers slicing patches                  image; masked patch subsets are
+                                         gathered + batched on device
+Pool(1) process serializing mmap      -> a single writer thread draining
+writes                                   a queue into the pred_map mmap
+ProcessPoolExecutor running cv2/      -> batched on-device post-proc per
+scipy watershed per 2048^2 tile          canonical window; async dispatch
+                                         with lagged host finalization
+"Silent Crash" future polling         -> sequential host callbacks (the
+                                         ID-offset bookkeeping is order-
+                                         dependent anyway) + per-WSI
+                                         try/except
+
+The 3-phase boundary-consistent post-processing (full tiles ->
+boundary strips -> 4-corner crosses, infer/wsi.py:556-696) is preserved
+exactly: phase 2/3 keep old boundary-straddling nuclei and swap interior
+ones for re-predictions.
+
+Deviation (documented): post-proc windows are read at canonical padded
+sizes (one compile per window class) with real neighbouring content and
+a validity mask, so min-max normalisation sees a slightly larger context
+than the reference's exact crop — negligible at [-1,1] HV ranges, and
+the Sobel window sees true tissue instead of a reflected border.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import pathlib
+import queue
+import shutil
+import threading
+import time
+from typing import Dict, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tiling import (
+    select_patches_in_chunk,
+    wsi_chunk_patch_grids,
+    wsi_tile_grids,
+)
+from ..ops import cc_np
+from ..ops.post_proc_device import proc_np_hv_batch
+from ..ops.post_proc_host import extract_instance_info
+from ..metrics import remap_label
+from . import base
+from .steps import extract_patches, infer_output
+from .wsi_handler import get_file_handler
+
+logger = logging.getLogger("hover_net_tpu")
+
+
+def _simple_tissue_mask(handler):
+    """Otsu at 1.25x + morphology (infer/wsi.py:489-499), skimage-free."""
+    thumb = handler.get_full_img(read_mag=1.25)
+    gray = cv2.cvtColor(thumb, cv2.COLOR_RGB2GRAY)
+    _, mask = cv2.threshold(gray, 0, 255, cv2.THRESH_OTSU)
+    mask = cc_np.remove_small_objects(mask == 0, min_size=16 * 16, connectivity=2)
+    mask = cc_np.remove_small_holes(mask, area_threshold=128 * 128)
+    return cc_np.binary_dilation_disk(mask, 16)
+
+
+class WSIInferManager(base.InferManagerBase):
+    def __init__(self, *args, chunk_shape=10000, tile_shape=2048,
+                 ambiguous_size=128, proc_mag=40, cache_path="cache",
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.chunk_shape = int(chunk_shape)
+        self.tile_shape = int(tile_shape)
+        self.ambiguous_size = int(ambiguous_size)
+        self.proc_mag = proc_mag
+        self.cache_path = cache_path
+        self._fwd_fns = {}
+        self._pp_shapes = {}
+
+    # ------------------------------------------------------- device fns
+
+    def _forward_batch_fn(self):
+        """Fused gather+forward for a fixed-size coord batch."""
+        if "fwd" not in self._fwd_fns:
+            model = self.model
+            win = self.cfg.patch_input_shape
+
+            @jax.jit
+            def run(variables, chunk_img, coords):
+                patches = extract_patches(chunk_img, coords, win)
+                return infer_output(model, variables, patches)
+
+            self._fwd_fns["fwd"] = run
+        return self._fwd_fns["fwd"]
+
+    # --------------------------------------------------------- pipeline
+
+    def _run_chunk(self, chunk_img: np.ndarray, patch_coords: np.ndarray):
+        """Forward all selected patches of one chunk.
+
+        patch_coords: [K, 2] input top-lefts relative to the chunk.
+        Returns [K, h, w, C] float32 outputs (host).
+        """
+        fwd = self._forward_batch_fn()
+        bs = self.batch_size
+        dev_img = jnp.asarray(chunk_img)
+        outs = []
+        for i in range(0, len(patch_coords), bs):
+            sub = patch_coords[i : i + bs]
+            n = len(sub)
+            if n < bs:
+                sub = np.concatenate(
+                    [sub, np.zeros((bs - n, 2), sub.dtype)], axis=0
+                )
+            out = fwd(self.variables, dev_img, jnp.asarray(sub, jnp.int32))
+            outs.append((out, n))
+        return np.concatenate([np.asarray(o)[:n] for o, n in outs], axis=0)
+
+    def _get_raw_prediction(self, chunk_info, patch_info):
+        """Chunk loop: read region -> device forward -> writer thread
+        assembles into the pred_map mmap (infer/wsi.py:329-383)."""
+        write_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def writer():
+            pred_map = np.load(self._pred_map_path, mmap_mode="r+")
+            while True:
+                item = write_q.get()
+                if item is None:
+                    break
+                out_tl, outputs, coords = item
+                for k in range(len(coords)):
+                    y, x = coords[k]
+                    ph, pw = outputs.shape[1:3]
+                    pred_map[y : y + ph, x : x + pw] = outputs[k]
+                del outputs
+            pred_map.flush()
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+
+        diff = self.cfg.patch_input_shape - self.cfg.patch_output_shape
+        for idx in range(chunk_info.shape[0]):
+            cinfo = chunk_info[idx]
+            sub = select_patches_in_chunk(
+                patch_info, cinfo, (self.cfg.patch_input_shape,) * 2
+            )
+            sub = self._select_masked_patches(sub)
+            if sub.shape[0] == 0:
+                continue
+            tl = cinfo[0, 0]
+            read_size = (cinfo[0, 1] - cinfo[0, 0])[::-1]  # (w, h)
+            chunk_img = self.wsi_handler.read_region(tl[::-1], read_size)
+
+            rel_in_tl = (sub[:, 0, 0] - tl).astype(np.int32)
+            out_coords = sub[:, 1, 0]  # absolute output top-lefts
+            outputs = self._run_chunk(chunk_img, rel_in_tl)
+            write_q.put((tl, outputs, out_coords))
+            logger.info("chunk %d/%d: %d patches", idx + 1,
+                        chunk_info.shape[0], sub.shape[0])
+        write_q.put(None)
+        wt.join()
+
+    def _select_masked_patches(self, patch_info, box_level: int = 1):
+        """Keep patches whose output box overlaps tissue
+        (infer/wsi.py:300-327)."""
+        if patch_info.shape[0] == 0:
+            return patch_info
+        ratio = self.wsi_mask.shape[0] / self.wsi_proc_shape[0]
+        boxes = np.rint(patch_info[:, box_level] * ratio).astype(np.int64)
+        keep = []
+        for i, box in enumerate(boxes):
+            roi = self.wsi_mask[box[0, 0] : box[1, 0], box[0, 1] : box[1, 1]]
+            if roi.sum() > 0:
+                keep.append(i)
+        return patch_info[keep]
+
+    def _select_masked_boxes(self, boxes):
+        if boxes.shape[0] == 0:
+            return boxes
+        ratio = self.wsi_mask.shape[0] / self.wsi_proc_shape[0]
+        scaled = np.rint(boxes * ratio).astype(np.int64)
+        keep = []
+        for i, box in enumerate(scaled):
+            roi = self.wsi_mask[box[0, 0] : box[1, 0], box[0, 1] : box[1, 1]]
+            if roi.sum() > 0:
+                keep.append(i)
+        return boxes[keep]
+
+    # ------------------------------------------------ tile post-process
+
+    def _canonical_window(self, tl, br):
+        """Round the read window up to a shape class; anchor inside the
+        slide; return (win_tl, (Hc, Wc), valid slice of requested box)."""
+        h, w = int(br[0] - tl[0]), int(br[1] - tl[1])
+        img_h, img_w = (int(v) for v in self.wsi_proc_shape)
+        hc = min(-(-h // 256) * 256, -(-img_h // 256) * 256)
+        wc = min(-(-w // 256) * 256, -(-img_w // 256) * 256)
+        wy = max(min(int(tl[0]), img_h - hc), 0)
+        wx = max(min(int(tl[1]), img_w - wc), 0)
+        return (wy, wx), (hc, wc)
+
+    def _post_proc_box(self, tl, br):
+        """Device post-proc of one box; returns (inst int32, type int32)
+        arrays of the box extent with labels remapped contiguously."""
+        (wy, wx), (hc, wc) = self._canonical_window(tl, br)
+        img_h, img_w = (int(v) for v in self.wsi_proc_shape)
+        read_h, read_w = min(hc, img_h - wy), min(wc, img_w - wx)
+
+        pred_map = np.load(self._pred_map_path, mmap_mode="r")
+        window = np.zeros((hc, wc, pred_map.shape[-1]), np.float32)
+        window[:read_h, :read_w] = pred_map[wy : wy + read_h, wx : wx + read_w]
+
+        valid = np.zeros((hc, wc), bool)
+        y0, x0 = int(tl[0]) - wy, int(tl[1]) - wx
+        y1, x1 = int(br[0]) - wy, int(br[1]) - wx
+        valid[y0:y1, x0:x1] = True
+
+        seg = window[..., 1:4] if self.nr_types is not None else window[..., 0:3]
+        inst = proc_np_hv_batch(jnp.asarray(seg[None]), jnp.asarray(valid[None]))[0]
+        inst = remap_label(np.asarray(inst)[y0:y1, x0:x1])
+        tp = (window[..., 0].astype(np.int32)[y0:y1, x0:x1]
+              if self.nr_types is not None else None)
+        return inst, tp
+
+    def _dispatch_post_processing(self, boxes, callback, desc):
+        start = time.perf_counter()
+        for idx in range(boxes.shape[0]):
+            tl, br = boxes[idx]
+            inst, tp = self._post_proc_box(tl, br)
+            inst_info = extract_instance_info(inst, tp)
+            callback(inst, inst_info, tl, br)
+        logger.info("%s: %d boxes in %.2fs", desc, boxes.shape[0],
+                    time.perf_counter() - start)
+
+    # -------------------------------------------------------- full run
+
+    def process_single_file(self, wsi_path, msk_path, output_dir):
+        ext = pathlib.Path(wsi_path).suffix
+        wsi_name = pathlib.Path(wsi_path).stem
+        os.makedirs(self.cache_path, exist_ok=True)
+
+        start = time.perf_counter()
+        self.wsi_handler = get_file_handler(wsi_path, backend=ext)
+        self.wsi_proc_shape = self.wsi_handler.get_dimensions(self.proc_mag)
+        self.wsi_handler.prepare_reading(
+            read_mag=self.proc_mag,
+            cache_path=f"{self.cache_path}/src_wsi.npy",
+        )
+        self.wsi_proc_shape = np.array(self.wsi_proc_shape[::-1])  # (y, x)
+
+        if msk_path is not None and os.path.isfile(msk_path):
+            mask = cv2.cvtColor(cv2.imread(msk_path), cv2.COLOR_BGR2GRAY)
+            self.wsi_mask = (mask > 0).astype(np.uint8)
+        else:
+            logger.warning("no mask found, generating via Otsu at 1.25x")
+            self.wsi_mask = _simple_tissue_mask(self.wsi_handler).astype(np.uint8)
+        if self.wsi_mask.sum() == 0:
+            logger.info("skip due to empty mask")
+            return
+        if getattr(self, "save_mask", False):
+            cv2.imwrite(f"{output_dir}/mask/{wsi_name}.png", self.wsi_mask * 255)
+        if getattr(self, "save_thumb", False):
+            thumb = self.wsi_handler.get_full_img(read_mag=1.25)
+            cv2.imwrite(f"{output_dir}/thumb/{wsi_name}.png",
+                        cv2.cvtColor(thumb, cv2.COLOR_RGB2BGR))
+
+        out_ch = 4 if self.nr_types is not None else 3
+        proc_shape = tuple(int(v) for v in self.wsi_proc_shape)
+        self._pred_map_path = f"{self.cache_path}/pred_map.npy"
+        pred_map = np.lib.format.open_memmap(
+            self._pred_map_path, mode="w+",
+            shape=proc_shape + (out_ch,), dtype=np.float32,
+        )
+        del pred_map
+        self.wsi_inst_map = np.lib.format.open_memmap(
+            f"{self.cache_path}/pred_inst.npy", mode="w+",
+            shape=proc_shape, dtype=np.int32,
+        )
+        self.wsi_inst_info: Dict[int, dict] = {}
+        logger.info("prepare holders: %.2fs", time.perf_counter() - start)
+
+        # ---- raw prediction over chunks
+        start = time.perf_counter()
+        chunk_info, patch_info = wsi_chunk_patch_grids(
+            self.wsi_proc_shape,
+            np.array([self.chunk_shape] * 2),
+            np.array([self.cfg.patch_input_shape] * 2),
+            np.array([self.cfg.patch_output_shape] * 2),
+        )
+        self._get_raw_prediction(chunk_info, patch_info)
+        logger.info("inference: %.2fs", time.perf_counter() - start)
+
+        # ---- 3-phase post-processing
+        start = time.perf_counter()
+        tile_grid, tile_boundary, tile_cross = wsi_tile_grids(
+            self.wsi_proc_shape, np.array([self.tile_shape] * 2),
+            self.ambiguous_size,
+        )
+        tile_grid = self._select_masked_boxes(tile_grid)
+        tile_boundary = self._select_masked_boxes(tile_boundary)
+        tile_cross = self._select_masked_boxes(tile_cross)
+
+        self._dispatch_post_processing(
+            tile_grid, self._cb_normal_tile, "post-proc phase 1"
+        )
+        self._dispatch_post_processing(
+            tile_boundary, self._cb_fixing_tile, "post-proc phase 2"
+        )
+        self._dispatch_post_processing(
+            tile_cross, self._cb_fixing_tile, "post-proc phase 3"
+        )
+        logger.info("post-proc: %.2fs", time.perf_counter() - start)
+
+        start = time.perf_counter()
+        if getattr(self, "save_mask", False) or getattr(self, "save_thumb", False):
+            json_path = f"{output_dir}/json/{wsi_name}.json"
+        else:
+            json_path = f"{output_dir}/{wsi_name}.json"
+        base.save_json(json_path, self.wsi_inst_info, mag=self.proc_mag)
+        logger.info("save: %.2fs", time.perf_counter() - start)
+
+    # ---- phase callbacks (infer/wsi.py:569-677 bookkeeping)
+
+    def _cb_normal_tile(self, pred_inst, inst_info, tl, br):
+        if len(inst_info) == 0:
+            return
+        top_left = np.array([tl[1], tl[0]])  # (x, y)
+        wsi_max_id = max(self.wsi_inst_info.keys(), default=0)
+        for inst_id, info in inst_info.items():
+            info["bbox"] += np.asarray(tl)  # bbox rows are (y, x)
+            info["contour"] += top_left
+            info["centroid"] += top_left
+            self.wsi_inst_info[inst_id + wsi_max_id] = info
+        pred_inst = np.where(pred_inst > 0, pred_inst + wsi_max_id, 0)
+        self.wsi_inst_map[tl[0] : br[0], tl[1] : br[1]] = pred_inst
+
+    def _cb_fixing_tile(self, pred_inst, inst_info, tl, br):
+        if len(inst_info) == 0:
+            return
+        top_left = np.array([tl[1], tl[0]])
+        wsi_max_id = max(self.wsi_inst_info.keys(), default=0)
+
+        # keep old nuclei that straddle this window's boundary; drop the
+        # interior ones (they will be replaced by the re-prediction)
+        roi = np.array(self.wsi_inst_map[tl[0] : br[0], tl[1] : br[1]])
+        edge_ids = np.unique(np.concatenate([
+            roi[[0, -1], :].ravel(), roi[:, [0, -1]].ravel()
+        ]))
+        edge_ids = edge_ids[edge_ids > 0]
+        inner_ids = np.setdiff1d(np.unique(roi)[1:], edge_ids,
+                                 assume_unique=True)
+        roi[np.isin(roi, inner_ids)] = 0
+        self.wsi_inst_map[tl[0] : br[0], tl[1] : br[1]] = roi
+        for inst_id in inner_ids:
+            self.wsi_inst_info.pop(int(inst_id), None)
+
+        # from the new prediction, drop nuclei overlapping the kept old
+        # boundary-straddlers; install the rest
+        overlap_ids = np.unique(pred_inst[roi > 0])
+        new_inner = np.setdiff1d(np.unique(pred_inst)[1:], overlap_ids,
+                                 assume_unique=True)
+        pred_inst = np.where(np.isin(pred_inst, overlap_ids), 0, pred_inst)
+        for inst_id in new_inner:
+            if inst_id not in inst_info:
+                logger.info("nucleus id=%d missing from info dict", inst_id)
+                continue
+            info = inst_info[inst_id]
+            info["bbox"] += np.asarray(tl)
+            info["contour"] += top_left
+            info["centroid"] += top_left
+            self.wsi_inst_info[int(inst_id) + wsi_max_id] = info
+        pred_inst = np.where(pred_inst > 0, pred_inst + wsi_max_id, 0)
+        self.wsi_inst_map[tl[0] : br[0], tl[1] : br[1]] = roi + pred_inst
+
+    # -------------------------------------------------------------- run
+
+    def process_wsi_list(self, input_dir, output_dir, input_mask_dir=None,
+                         save_thumb=False, save_mask=False):
+        self.save_thumb = save_thumb
+        self.save_mask = save_mask
+        os.makedirs(self.cache_path, exist_ok=True)
+        os.makedirs(f"{output_dir}/json", exist_ok=True)
+        if save_thumb:
+            os.makedirs(f"{output_dir}/thumb", exist_ok=True)
+        if save_mask:
+            os.makedirs(f"{output_dir}/mask", exist_ok=True)
+
+        for wsi_path in sorted(glob.glob(f"{input_dir}/*")):
+            if os.path.isdir(wsi_path):
+                continue
+            name = pathlib.Path(wsi_path).stem
+            msk_path = (f"{input_mask_dir}/{name}.png"
+                        if input_mask_dir else None)
+            out_file = (f"{output_dir}/json/{name}.json"
+                        if (save_thumb or save_mask)
+                        else f"{output_dir}/{name}.json")
+            if os.path.exists(out_file):
+                logger.info("skip (resume): %s", name)
+                continue
+            try:
+                logger.info("process: %s", name)
+                self.process_single_file(wsi_path, msk_path, output_dir)
+                logger.info("finish %s", name)
+            except Exception:
+                logger.exception("crash on %s", name)
+        shutil.rmtree(self.cache_path, ignore_errors=True)
