@@ -1,0 +1,106 @@
+"""Inference CLI (run_infer.py parity: tile / wsi subcommands).
+
+Examples:
+  python -m hover_net_tpu.cli.run_infer \
+      --model_path ckpt.msgpack --model_mode fast --nr_types 6 \
+      --type_info_path type_info.json \
+      tile --input_dir in/ --output_dir out/ --save_qupath
+
+  python -m hover_net_tpu.cli.run_infer \
+      --model_path ckpt.msgpack --model_mode fast --nr_types 6 \
+      wsi --input_dir slides/ --output_dir out/ --proc_mag 40
+
+Reference PyTorch `.tar` checkpoints load directly via the importer.
+Flags accepted for compatibility but without effect here are documented
+inline (worker counts: patching/post-proc run on device).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_parser():
+    p = argparse.ArgumentParser("hover_net_tpu.run_infer")
+    p.add_argument("--nr_types", type=int, default=0,
+                   help="number of nuclei types (0 = segmentation only)")
+    p.add_argument("--type_info_path", default=None)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--model_mode", default="fast", choices=["original", "fast"])
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--nr_inference_workers", type=int, default=8,
+                   help="accepted for parity; patch I/O is device-side")
+    p.add_argument("--nr_post_proc_workers", type=int, default=0,
+                   help="accepted for parity; post-proc runs on device")
+    p.add_argument("--host_post_proc", action="store_true",
+                   help="use the host (cv2/scipy) post-proc oracle path")
+
+    sub = p.add_subparsers(dest="command", required=True)
+
+    tile = sub.add_parser("tile")
+    tile.add_argument("--input_dir", required=True)
+    tile.add_argument("--output_dir", required=True)
+    tile.add_argument("--mem_usage", type=float, default=0.2,
+                      help="accepted for parity; streaming pipeline "
+                           "caches one image at a time")
+    tile.add_argument("--draw_dot", action="store_true")
+    tile.add_argument("--save_qupath", action="store_true")
+    tile.add_argument("--save_raw_map", action="store_true")
+
+    wsi = sub.add_parser("wsi")
+    wsi.add_argument("--input_dir", required=True)
+    wsi.add_argument("--output_dir", required=True)
+    wsi.add_argument("--input_mask_dir", default=None)
+    wsi.add_argument("--cache_path", default="cache")
+    wsi.add_argument("--proc_mag", type=int, default=40)
+    wsi.add_argument("--ambiguous_size", type=int, default=128)
+    wsi.add_argument("--chunk_shape", type=int, default=10000)
+    wsi.add_argument("--tile_shape", type=int, default=2048)
+    wsi.add_argument("--save_thumb", action="store_true")
+    wsi.add_argument("--save_mask", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="|%(asctime)s.%(msecs)03d| [%(levelname)s] %(message)s",
+        datefmt="%Y-%m-%d|%H:%M:%S",
+        handlers=[logging.FileHandler("debug.log"), logging.StreamHandler()],
+    )
+    nr_types = args.nr_types if args.nr_types > 0 else None
+    common = dict(
+        model_path=args.model_path, mode=args.model_mode, nr_types=nr_types,
+        type_info_path=args.type_info_path, batch_size=args.batch_size,
+        width=args.width,
+    )
+    if args.command == "tile":
+        from ..infer.tile import TileInferManager
+
+        mgr = TileInferManager(
+            device_post_proc=not args.host_post_proc, **common
+        )
+        mgr.process_file_list(
+            args.input_dir, args.output_dir, draw_dot=args.draw_dot,
+            save_qupath=args.save_qupath, save_raw_map=args.save_raw_map,
+        )
+    else:
+        from ..infer.wsi import WSIInferManager
+
+        mgr = WSIInferManager(
+            chunk_shape=args.chunk_shape, tile_shape=args.tile_shape,
+            ambiguous_size=args.ambiguous_size, proc_mag=args.proc_mag,
+            cache_path=args.cache_path, **common,
+        )
+        mgr.process_wsi_list(
+            args.input_dir, args.output_dir,
+            input_mask_dir=args.input_mask_dir,
+            save_thumb=args.save_thumb, save_mask=args.save_mask,
+        )
+
+
+if __name__ == "__main__":
+    main()

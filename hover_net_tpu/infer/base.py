@@ -60,7 +60,40 @@ class InferManagerBase:
         if model_path.endswith((".tar", ".pth", ".pt")):
             return ckpt.load_torch_tar(model_path, self.cfg)
         variables, _ = ckpt.load_checkpoint(model_path)
+        self._validate_variables(variables, model_path)
         return variables
+
+    def _validate_variables(self, variables, model_path):
+        """Fail loudly on checkpoint/model structure mismatch (flax
+        silently ignores extra subtrees, e.g. a typed checkpoint loaded
+        without --nr_types)."""
+        from flax import traverse_util
+
+        expected = jax.eval_shape(
+            lambda x: self.model.init(jax.random.PRNGKey(0), x, train=False),
+            jax.ShapeDtypeStruct(
+                (1, self.cfg.patch_input_shape,
+                 self.cfg.patch_input_shape, self.cfg.input_ch),
+                "float32",
+            ),
+        )
+        want = set(traverse_util.flatten_dict(expected).keys())
+        have = set(traverse_util.flatten_dict(variables).keys())
+        missing = want - have
+        extra = have - want
+        if missing:
+            raise ValueError(
+                f"checkpoint {model_path} missing {len(missing)} variables "
+                f"for mode={self.cfg.mode} nr_types={self.cfg.nr_types} "
+                f"width={self.cfg.width}, e.g. "
+                f"{['/'.join(k) for k in sorted(missing)[:3]]}"
+            )
+        if extra:
+            raise ValueError(
+                f"checkpoint {model_path} has {len(extra)} unexpected "
+                f"variables (wrong --nr_types/--model_mode/--width?), e.g. "
+                f"{['/'.join(k) for k in sorted(extra)[:3]]}"
+            )
 
     def run_batches(self, patches, pad_to: Optional[int] = None):
         """Run the jitted step over [K, H, W, 3] patches in fixed-size
