@@ -44,6 +44,10 @@ def synth_pred_map(h, w, n_nuclei=1200, seed=0):
 
 def main():
     import jax
+
+    from hover_net_tpu import runtime
+
+    runtime.setup()
     import jax.numpy as jnp
 
     from hover_net_tpu.models import HoVerNet, HoVerNetConfig

@@ -64,6 +64,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from .. import runtime
+
+    runtime.setup()
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.INFO,
