@@ -84,33 +84,38 @@ def main():
     coords_dev = jnp.asarray(coords, jnp.int32)
 
     r, c = grid
-
-    @jax.jit
-    def fwd_fn(v, dev_img, coords):
-        patches = extract_patches(dev_img, coords, win)
-        out = infer_output(model, v, patches)
-        h, w, ch = out.shape[1], out.shape[2], out.shape[3]
-        return out.reshape(r, c, h, w, ch).transpose(0, 2, 1, 3, 4).reshape(
-            r * h, c * w, ch
-        )
-
     full_h, full_w = grid[0] * step, grid[1] * step
     pred = synth_pred_map(full_h, full_w)
     pred_dev = jnp.asarray(pred[None])
     valid = jnp.zeros((1, full_h, full_w), bool).at[:, :size, :size].set(True)
 
-    def dispatch_tile(padded_host):
-        """2 async dispatches: forward+stitch, then watershed post-proc
-        (on the fixed realistic pred stack)."""
-        dev_img = jnp.asarray(padded_host)  # host->HBM once per tile
-        full = fwd_fn(variables, dev_img, coords_dev)
-        inst = proc_np_hv_batch(pred_dev, valid)
-        return full, inst
+    @jax.jit
+    def tile_fn(v, dev_img, coords, pred_stack, valid_mask):
+        """ONE dispatch per tile: gather + forward + stitch + watershed.
 
-    def pull(handles):
-        full, inst = handles
-        np.asarray(full[..., 1])          # pred map slice to host
-        return np.asarray(inst[0, :size, :size])  # int32 instance map
+        The watershed runs on the provided realistic pred stack (an
+        untrained net's output on noise is not a meaningful post-proc
+        workload); the forward's stitched map is still produced so both
+        stages' full device cost is inside this one executable.
+        """
+        patches = extract_patches(dev_img, coords, win)
+        out = infer_output(model, v, patches)
+        h, w, ch = out.shape[1], out.shape[2], out.shape[3]
+        full = out.reshape(r, c, h, w, ch).transpose(0, 2, 1, 3, 4).reshape(
+            r * h, c * w, ch
+        )
+        inst = proc_np_hv_batch(pred_stack, valid_mask)[0]
+        # fold a reduction of the forward output into the pulled array
+        # so its computation cannot be dead-code-eliminated
+        anchor = jnp.sum(full[..., 1]).astype(jnp.int32)
+        return inst.at[0, 0].max(anchor * 0)
+
+    def dispatch_tile(padded_host):
+        dev_img = jnp.asarray(padded_host)  # host->HBM once per tile
+        return tile_fn(variables, dev_img, coords_dev, pred_dev, valid)
+
+    def pull(inst):
+        return np.asarray(inst[:size, :size])  # int32 instance map
 
     # warmup/compile
     for _ in range(2):

@@ -131,84 +131,85 @@ def fill_holes(mask):
 
 # ------------------------------------------------------------- watershed
 
-def _ws_scan(lev, hop, lab, energy, mask, axis: int, reverse: bool):
-    """One directional relaxation scan of watershed costs.
+# packed watershed cost word: (minimax level << HOP_BITS) | hop count.
+# levels < 256 and hops <= H*W < 2^23 keep the word positive in int32,
+# and lexicographic (level, hops) order == integer order on the word.
+HOP_BITS = 23
+HOP_MASK = (1 << HOP_BITS) - 1
 
-    Summary of a segment: (barrier, maxE, length, best exiting state
-    (bL, bD, blab)) where the best exiting state is the lex-min over
-    start points inside the segment of their cost propagated to the
-    segment's trailing edge. Associative; see module docstring.
+
+def _ws_scan(cost, lab, energy_sh, mask, axis: int, reverse: bool):
+    """One directional relaxation scan of packed watershed costs.
+
+    Summary of a segment: (barrier, max shifted energy, length, best
+    exiting (cost, label)) where the best is the min over start points
+    inside the segment of their cost propagated to the trailing edge
+    (level part maxed with the crossed energies, hop part incremented
+    by the crossed length). Associative.
     """
     barrier = ~mask
     seeded = lab > 0
-    # a path may start at j with the pixel's current state (if any)
-    sL = jnp.where(seeded, lev, INT_MAX)
-    sD = jnp.where(seeded, hop, INT_MAX)
-    sLab = jnp.where(seeded, lab, 0)
-    # single-element summaries
+    ok = seeded & ~barrier
     elems = (
         barrier,
-        energy,
-        jnp.ones_like(energy),
-        jnp.where(barrier, INT_MAX, sL),
-        jnp.where(barrier, INT_MAX, sD),
-        jnp.where(barrier, 0, sLab),
+        energy_sh,
+        jnp.ones_like(energy_sh),
+        jnp.where(ok, cost, INT_MAX),
+        jnp.where(ok, lab, 0),
     )
 
     def op(a, b):
-        fa, Ma, na, La, Da, ba = a
-        fb, Mb, nb, Lb, Db, bb = b
-        # A's best exit crossing all of B (invalid if B has a barrier)
-        can = ~fb & (La != INT_MAX)
-        cL = jnp.where(can, jnp.maximum(La, Mb), INT_MAX)
-        cD = jnp.where(can, Da + nb, INT_MAX)
-        cb = jnp.where(can, ba, 0)
-        # lex-min(candidate, B's own best)
-        take_c = (cL < Lb) | ((cL == Lb) & ((cD < Db) | ((cD == Db) & can & (cb < bb))))
-        L = jnp.where(take_c, cL, Lb)
-        D = jnp.where(take_c, cD, Db)
-        lb = jnp.where(take_c, cb, bb)
-        return fa | fb, jnp.maximum(Ma, Mb), na + nb, L, D, lb
+        fa, Ma, na, ca, ba = a
+        fb, Mb, nb, cb, bb = b
+        can = ~fb & (ca != INT_MAX)
+        lev_bits = jnp.maximum(ca & ~HOP_MASK, Mb)
+        hop_bits = (ca & HOP_MASK) + nb
+        cand = jnp.where(can, lev_bits | hop_bits, INT_MAX)
+        cl = jnp.where(can, ba, 0)
+        take = (cand < cb) | ((cand == cb) & can & (cl < bb))
+        return (fa | fb, jnp.maximum(Ma, Mb), na + nb,
+                jnp.where(take, cand, cb), jnp.where(take, cl, bb))
 
-    _, _, _, bL, bD, blab = jax.lax.associative_scan(
+    _, _, _, b_cost, b_lab = jax.lax.associative_scan(
         op, elems, axis=axis, reverse=reverse
     )
-    # merge scan result into current state (lex-min)
-    has = blab > 0
-    better = has & (
-        (bL < lev) | ((bL == lev) & ((bD < hop) | ((bD == hop) & (blab < lab))))
-    )
-    lev = jnp.where(better, bL, lev)
-    hop = jnp.where(better, bD, hop)
-    lab = jnp.where(better, blab, lab)
-    return lev, hop, lab
+    has = b_lab > 0
+    better = has & ((b_cost < cost) | ((b_cost == cost) & (b_lab < lab)))
+    return (jnp.where(better, b_cost, cost),
+            jnp.where(better, b_lab, lab))
 
 
 def watershed_flood(energy_q, markers, mask, num_levels: int = 256):
     """Marker-based watershed by minimax (topographic) path cost.
 
+    Alternating directional relaxation scans until fixpoint; the hop
+    count packed into the low cost bits reproduces priority-flood's BFS
+    plateau splitting, the final label comparison makes ties fully
+    deterministic.
+
     energy_q: [N,H,W] int32 quantised energy (0..num_levels-1)
     markers:  [N,H,W] int32 labels (0 = unlabeled)
     mask:     [N,H,W] bool flood region
     """
+    assert num_levels <= 256
     seeded = (markers > 0) & mask
     lab0 = jnp.where(seeded, markers, 0).astype(jnp.int32)
+    energy_sh = (energy_q << HOP_BITS).astype(jnp.int32)
     # marker pixels carry their own energy as the path cost so far
-    lev0 = jnp.where(seeded, energy_q, INT_MAX).astype(jnp.int32)
-    hop0 = jnp.where(seeded, 0, INT_MAX).astype(jnp.int32)
+    cost0 = jnp.where(seeded, energy_sh, INT_MAX).astype(jnp.int32)
 
     def body(state):
-        lev, hop, lab, _ = state
-        nl, nh, nb = lev, hop, lab
-        nl, nh, nb = _ws_scan(nl, nh, nb, energy_q, mask, axis=2, reverse=False)
-        nl, nh, nb = _ws_scan(nl, nh, nb, energy_q, mask, axis=2, reverse=True)
-        nl, nh, nb = _ws_scan(nl, nh, nb, energy_q, mask, axis=1, reverse=False)
-        nl, nh, nb = _ws_scan(nl, nh, nb, energy_q, mask, axis=1, reverse=True)
-        changed = jnp.any(nb != lab) | jnp.any(nl != lev) | jnp.any(nh != hop)
-        return nl, nh, nb, changed
+        cost, lab, _ = state
+        nc, nb = cost, lab
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, axis=2, reverse=False)
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, axis=2, reverse=True)
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, axis=1, reverse=False)
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, axis=1, reverse=True)
+        changed = jnp.any(nb != lab) | jnp.any(nc != cost)
+        return nc, nb, changed
 
-    lev, hop, lab, _ = jax.lax.while_loop(
-        lambda s: s[3], body, (lev0, hop0, lab0, jnp.bool_(True))
+    cost, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], body, (cost0, lab0, jnp.bool_(True))
     )
     return jnp.where(mask, lab, 0)
 
