@@ -1,0 +1,141 @@
+"""Native (C++) per-instance statistics with a NumPy fallback.
+
+Replaces the reference's per-instance rescan loop
+(post_proc.py:120-181): bbox / centroid / size / majority-vote type for
+all instances in one O(area) pass. Compiled on first use with g++ into
+a cached shared object and bound via ctypes (no pybind11 dependency);
+falls back to a vectorised NumPy implementation when no compiler is
+available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                    "instance_table.cpp")
+_LIB = None
+_LIB_FAILED = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_FAILED
+    if _LIB is not None:
+        return _LIB
+    if _LIB_FAILED:
+        return None
+    try:
+        src = os.path.abspath(_SRC)
+        with open(src, "rb") as f:
+            digest = hashlib.sha1(f.read()).hexdigest()[:12]
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "hover_net_tpu",
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"instance_table_{digest}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + f".tmp{os.getpid()}"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 src, "-o", tmp],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+        lib.instance_table.restype = None
+        lib.apply_lut.restype = None
+        _LIB = lib
+        return lib
+    except Exception:
+        _LIB_FAILED = True
+        return None
+
+
+def instance_table(labels: np.ndarray, type_map: Optional[np.ndarray] = None,
+                   n_types: int = 0):
+    """labels: [H, W] int32 contiguous 1..N. Returns
+    (bbox [N,4] (rmin,rmax,cmin,cmax), centroid [N,2] (x,y),
+    size [N], type_hist [N,n_types] | None)."""
+    labels = np.ascontiguousarray(labels, np.int32)
+    n = int(labels.max())
+    h, w = labels.shape
+    if n == 0:
+        empty_hist = np.zeros((0, n_types), np.int64) if type_map is not None else None
+        return (np.zeros((0, 4), np.int64), np.zeros((0, 2), np.float64),
+                np.zeros((0,), np.int64), empty_hist)
+
+    lib = _build_lib()
+    if lib is not None:
+        bbox = np.empty((n, 4), np.int64)
+        sum_yx = np.empty((n, 2), np.int64)
+        size = np.empty((n,), np.int64)
+        if type_map is not None:
+            tmap = np.ascontiguousarray(type_map, np.int32)
+            hist = np.zeros((n, max(n_types, 1)), np.int64)
+            tptr = tmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            hptr = hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        else:
+            hist, tptr, hptr = None, None, None
+        lib.instance_table(
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), tptr,
+            ctypes.c_int64(h), ctypes.c_int64(w),
+            ctypes.c_int32(n), ctypes.c_int32(max(n_types, 1)),
+            bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sum_yx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            size.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hptr,
+        )
+    else:  # NumPy fallback (vectorised bincounts)
+        flat = labels.ravel()
+        size = np.bincount(flat, minlength=n + 1)[1:].astype(np.int64)
+        ys, xs = np.nonzero(labels)
+        lab = labels[ys, xs]
+        order = np.argsort(lab, kind="stable")
+        lab_s, ys_s, xs_s = lab[order], ys[order], xs[order]
+        starts = np.searchsorted(lab_s, np.arange(1, n + 1))
+        ends = np.searchsorted(lab_s, np.arange(1, n + 1), side="right")
+        bbox = np.zeros((n, 4), np.int64)
+        sum_yx = np.zeros((n, 2), np.int64)
+        for i in range(n):
+            sl = slice(starts[i], ends[i])
+            if starts[i] == ends[i]:
+                continue
+            bbox[i] = (ys_s[sl].min(), ys_s[sl].max() + 1,
+                       xs_s[sl].min(), xs_s[sl].max() + 1)
+            sum_yx[i] = (ys_s[sl].sum(), xs_s[sl].sum())
+        hist = None
+        if type_map is not None:
+            hist = np.zeros((n, max(n_types, 1)), np.int64)
+            t = type_map[ys, xs]
+            np.add.at(hist, (lab - 1, np.clip(t, 0, max(n_types, 1) - 1)), 1)
+
+    with np.errstate(invalid="ignore"):
+        centroid = np.stack(
+            [sum_yx[:, 1] / np.maximum(size, 1), sum_yx[:, 0] / np.maximum(size, 1)],
+            axis=1,
+        )  # (x, y)
+    return bbox, centroid, size, hist
+
+
+def apply_lut(labels: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """labels = lut[labels], in place when native lib available."""
+    lib = _build_lib()
+    labels = np.ascontiguousarray(labels, np.int32)
+    lut = np.ascontiguousarray(lut, np.int32)
+    if lib is not None:
+        lib.apply_lut(
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(labels.size),
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(lut.size),
+        )
+        return labels
+    return lut[labels]

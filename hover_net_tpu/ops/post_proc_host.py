@@ -80,62 +80,61 @@ def proc_np_hv(pred: np.ndarray) -> np.ndarray:
     return watershed(dist, markers=marker, mask=blb).astype(np.int32)
 
 
-def extract_instance_info(pred_inst, pred_type=None):
+def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
     """Per-instance bbox / centroid / contour (+ majority-vote type).
 
     Matches the output contract of post_proc.py:94-186:
     dict[id] = {bbox, centroid, contour, type, type_prob} with
     coordinates in (x, y) for centroid/contour and bbox as
     [[rmin, cmin], [rmax, cmax]].
-    """
-    inst_info = {}
-    inst_id_list = np.unique(pred_inst)[1:]
-    for inst_id in inst_id_list:
-        inst_mask_full = pred_inst == inst_id
-        rmin, rmax, cmin, cmax = get_bounding_box(inst_mask_full)
-        bbox = np.array([[rmin, cmin], [rmax, cmax]])
-        inst_mask = inst_mask_full[rmin:rmax, cmin:cmax].astype(np.uint8)
 
-        moments = cv2.moments(inst_mask)
+    Implementation: bbox/centroid/size/type-histograms come from one
+    O(area) native pass (ops/instance_table.py) instead of the
+    reference's per-instance full-map rescans; cv2 contour extraction
+    runs on the small bbox crops. Centroids are pixel-count means —
+    identical to cv2.moments m10/m00 on a binary mask.
+
+    Requires contiguous instance ids 1..N (remap first).
+    """
+    from .instance_table import instance_table
+
+    pred_inst = np.ascontiguousarray(pred_inst, np.int32)
+    bbox_t, centroid_t, size_t, hist_t = instance_table(
+        pred_inst, pred_type, n_types=n_types
+    )
+
+    inst_info = {}
+    for idx in range(bbox_t.shape[0]):
+        if size_t[idx] == 0:
+            continue
+        rmin, rmax, cmin, cmax = (int(v) for v in bbox_t[idx])
+        inst_mask = (pred_inst[rmin:rmax, cmin:cmax] == idx + 1).astype(np.uint8)
         contours = cv2.findContours(
             inst_mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
         )
         contour = np.squeeze(contours[0][0].astype("int32"))
-        if contour.shape[0] < 3 or contour.ndim != 2:
+        # < 3 points is not a contour (likely an artifact) — skip, as
+        # the reference does (post_proc.py:140-143)
+        if contour.ndim != 2 or contour.shape[0] < 3:
             continue
-        if moments["m00"] == 0:
-            continue
-        centroid = np.array(
-            [moments["m10"] / moments["m00"], moments["m01"] / moments["m00"]]
-        )
         contour[:, 0] += cmin  # X
         contour[:, 1] += rmin  # Y
-        centroid[0] += cmin
-        centroid[1] += rmin
-        inst_info[int(inst_id)] = {
-            "bbox": bbox,
-            "centroid": centroid,
+        info = {
+            "bbox": np.array([[rmin, cmin], [rmax, cmax]]),
+            "centroid": centroid_t[idx].copy(),
             "contour": contour,
             "type_prob": None,
             "type": None,
         }
-
-    if pred_type is not None:
-        for inst_id, info in inst_info.items():
-            rmin, cmin = info["bbox"][0]
-            rmax, cmax = info["bbox"][1]
-            inst_crop = pred_inst[rmin:rmax, cmin:cmax] == inst_id
-            type_crop = pred_type[rmin:rmax, cmin:cmax]
-            values = type_crop[inst_crop]
-            type_ids, counts = np.unique(values, return_counts=True)
-            order = np.argsort(-counts)
-            inst_type = int(type_ids[order[0]])
-            if inst_type == 0 and len(type_ids) > 1:
-                inst_type = int(type_ids[order[1]])
-            count_map = dict(zip(type_ids.tolist(), counts.tolist()))
-            type_prob = count_map[inst_type] / (np.sum(inst_crop) + 1.0e-6)
+        if pred_type is not None:
+            hist = hist_t[idx]
+            order = np.argsort(-hist, kind="stable")
+            inst_type = int(order[0])
+            if inst_type == 0 and len(order) > 1 and hist[order[1]] > 0:
+                inst_type = int(order[1])
             info["type"] = inst_type
-            info["type_prob"] = float(type_prob)
+            info["type_prob"] = float(hist[inst_type] / (size_t[idx] + 1.0e-6))
+        inst_info[idx + 1] = info
 
     return inst_info
 
@@ -154,6 +153,13 @@ def process(pred_map, nr_types=None, return_centroids=False):
         pred_inst_in = pred_map
 
     pred_inst = proc_np_hv(np.squeeze(pred_inst_in))
+    # contiguous ids 1..N (the reference leaves gaps from removed small
+    # markers and warns "ID MAY NOT BE CONTIGUOUS", post_proc.py:184;
+    # we normalise — downstream consumers only rely on dict-key/map
+    # agreement)
+    from ..metrics.stats import remap_label
+
+    pred_inst = remap_label(pred_inst)
 
     inst_info = None
     if return_centroids or nr_types is not None:

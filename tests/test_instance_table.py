@@ -1,0 +1,83 @@
+"""Native instance-table extractor vs a straightforward Python loop."""
+
+import numpy as np
+import pytest
+
+from hover_net_tpu.ops.instance_table import instance_table, apply_lut, _build_lib
+from hover_net_tpu.ops.post_proc_host import extract_instance_info
+from hover_net_tpu.metrics import remap_label
+
+
+def random_labels(rng, shape=(90, 110), n=12):
+    lab = np.zeros(shape, np.int32)
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    k = 1
+    for _ in range(n):
+        cy, cx = rng.integers(10, shape[0] - 10), rng.integers(10, shape[1] - 10)
+        r = rng.integers(3, 9)
+        m = ((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r
+        m &= lab == 0
+        if m.sum() > 3:
+            lab[m] = k
+            k += 1
+    return lab
+
+
+def test_native_lib_builds():
+    assert _build_lib() is not None, "g++ build of native/instance_table.cpp failed"
+
+
+def test_table_matches_python_loop():
+    rng = np.random.default_rng(0)
+    lab = random_labels(rng)
+    tmap = np.where(lab > 0, (lab % 3) + 1, 0).astype(np.int32)
+    bbox, centroid, size, hist = instance_table(lab, tmap, n_types=5)
+
+    n = lab.max()
+    assert bbox.shape == (n, 4)
+    for i in range(1, n + 1):
+        m = lab == i
+        ys, xs = np.nonzero(m)
+        assert bbox[i - 1].tolist() == [ys.min(), ys.max() + 1, xs.min(), xs.max() + 1]
+        np.testing.assert_allclose(centroid[i - 1], [xs.mean(), ys.mean()])
+        assert size[i - 1] == m.sum()
+        expect_hist = np.bincount(tmap[m], minlength=5)
+        np.testing.assert_array_equal(hist[i - 1], expect_hist)
+
+
+def test_extract_instance_info_types_and_contours():
+    rng = np.random.default_rng(1)
+    lab = remap_label(random_labels(rng))
+    tmap = np.where(lab > 0, ((lab - 1) % 3) + 1, 0).astype(np.int32)
+    info = extract_instance_info(lab, tmap)
+    assert set(info.keys()) <= set(range(1, lab.max() + 1))
+    for inst_id, inst in info.items():
+        m = lab == inst_id
+        ys, xs = np.nonzero(m)
+        np.testing.assert_allclose(inst["centroid"], [xs.mean(), ys.mean()])
+        assert inst["type"] == ((inst_id - 1) % 3) + 1
+        assert inst["type_prob"] > 0.99
+        # contour points lie on the instance
+        cont = inst["contour"]
+        assert np.all(lab[cont[:, 1], cont[:, 0]] == inst_id)
+
+
+def test_apply_lut():
+    lab = np.array([[0, 1, 2], [2, 3, 0]], np.int32)
+    lut = np.array([0, 5, 0, 7], np.int32)
+    out = apply_lut(lab.copy(), lut)
+    np.testing.assert_array_equal(out, [[0, 5, 0], [0, 7, 0]])
+
+
+def test_fallback_matches_native(monkeypatch):
+    import hover_net_tpu.ops.instance_table as it
+
+    rng = np.random.default_rng(2)
+    lab = random_labels(rng)
+    tmap = np.where(lab > 0, (lab % 4), 0).astype(np.int32)
+    native = instance_table(lab, tmap, n_types=6)
+    monkeypatch.setattr(it, "_LIB", None)
+    monkeypatch.setattr(it, "_LIB_FAILED", True)
+    fallback = it.instance_table(lab, tmap, n_types=6)
+    for a, b in zip(native, fallback):
+        np.testing.assert_allclose(a, b)
