@@ -36,6 +36,9 @@ def build_parser():
                    help="accepted for parity; post-proc runs on device")
     p.add_argument("--host_post_proc", action="store_true",
                    help="use the host (cv2/scipy) post-proc oracle path")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of the run "
+                        "(view in TensorBoard)")
 
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -80,29 +83,30 @@ def main(argv=None):
         type_info_path=args.type_info_path, batch_size=args.batch_size,
         width=args.width,
     )
-    if args.command == "tile":
-        from ..infer.tile import TileInferManager
+    with runtime.profile_trace(args.profile_dir):
+        if args.command == "tile":
+            from ..infer.tile import TileInferManager
 
-        mgr = TileInferManager(
-            device_post_proc=not args.host_post_proc, **common
-        )
-        mgr.process_file_list(
-            args.input_dir, args.output_dir, draw_dot=args.draw_dot,
-            save_qupath=args.save_qupath, save_raw_map=args.save_raw_map,
-        )
-    else:
-        from ..infer.wsi import WSIInferManager
+            mgr = TileInferManager(
+                device_post_proc=not args.host_post_proc, **common
+            )
+            mgr.process_file_list(
+                args.input_dir, args.output_dir, draw_dot=args.draw_dot,
+                save_qupath=args.save_qupath, save_raw_map=args.save_raw_map,
+            )
+        else:
+            from ..infer.wsi import WSIInferManager
 
-        mgr = WSIInferManager(
-            chunk_shape=args.chunk_shape, tile_shape=args.tile_shape,
-            ambiguous_size=args.ambiguous_size, proc_mag=args.proc_mag,
-            cache_path=args.cache_path, **common,
-        )
-        mgr.process_wsi_list(
-            args.input_dir, args.output_dir,
-            input_mask_dir=args.input_mask_dir,
-            save_thumb=args.save_thumb, save_mask=args.save_mask,
-        )
+            mgr = WSIInferManager(
+                chunk_shape=args.chunk_shape, tile_shape=args.tile_shape,
+                ambiguous_size=args.ambiguous_size, proc_mag=args.proc_mag,
+                cache_path=args.cache_path, **common,
+            )
+            mgr.process_wsi_list(
+                args.input_dir, args.output_dir,
+                input_mask_dir=args.input_mask_dir,
+                save_thumb=args.save_thumb, save_mask=args.save_mask,
+            )
 
 
 if __name__ == "__main__":

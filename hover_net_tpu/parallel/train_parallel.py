@@ -99,6 +99,7 @@ def make_train_step(model: HoVerNet, tx, freeze_encoder: bool = False,
         grads, (terms, new_stats, viz) = jax.grad(
             loss_fn, has_aux=True
         )(state.params)
+        terms["grad_norm"] = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -149,8 +150,28 @@ def dryrun_train_step(n_devices: int) -> None:
     Used by the driver (and tests) to validate the multi-chip path
     compiles and executes. Uses the real step: full model graph (tiny
     width), 4-term loss, Adam, BN stat update.
+
+    Runs on a virtual CPU mesh per the driver contract (the flag/config
+    switch must happen before the first backend query, so don't call
+    jax.devices() before this function).
     """
+    import os
+
     import numpy as np
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialised; use whatever devices exist
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices; got {jax.devices()} — set "
+        "XLA_FLAGS=--xla_force_host_platform_device_count before jax init"
+    )
 
     mesh = make_mesh(n_devices)
     cfg = HoVerNetConfig(mode="fast", nr_types=5, width=8)

@@ -184,6 +184,7 @@ class TrainManager:
                 run_info.train_state, dev_batch
             )
             ema = {k: float(v) for k, v in terms.items()}
+            run_info.last_grad_norm = ema.get("grad_norm")
             # raw viz: 2 samples; device arrays converted only at epoch end
             n = min(2, batch["img"].shape[0])
             raw = {
