@@ -208,22 +208,25 @@ class WSIInferManager(base.InferManagerBase):
         wx = max(min(int(tl[1]), img_w - wc), 0)
         return (wy, wx), (hc, wc)
 
-    def _post_proc_box(self, tl, br):
-        """Device post-proc of one box; returns (inst int32, type int32)
-        arrays of the box extent with labels remapped contiguously."""
+    def _read_window(self, pred_map, tl, br):
+        """Read one canonical padded window + validity geometry."""
         (wy, wx), (hc, wc) = self._canonical_window(tl, br)
         img_h, img_w = (int(v) for v in self.wsi_proc_shape)
         read_h, read_w = min(hc, img_h - wy), min(wc, img_w - wx)
-
-        pred_map = np.load(self._pred_map_path, mmap_mode="r")
         window = np.zeros((hc, wc, pred_map.shape[-1]), np.float32)
         window[:read_h, :read_w] = pred_map[wy : wy + read_h, wx : wx + read_w]
-
         valid = np.zeros((hc, wc), bool)
         y0, x0 = int(tl[0]) - wy, int(tl[1]) - wx
         y1, x1 = int(br[0]) - wy, int(br[1]) - wx
         valid[y0:y1, x0:x1] = True
+        return window, valid, (y0, y1, x0, x1)
 
+    def _post_proc_box(self, tl, br):
+        """Device post-proc of one box; returns (inst int32, type int32)
+        with labels remapped contiguously. Single-box convenience path
+        (tests); the dispatch loop below batches."""
+        pred_map = np.load(self._pred_map_path, mmap_mode="r")
+        window, valid, (y0, y1, x0, x1) = self._read_window(pred_map, tl, br)
         seg = window[..., 1:4] if self.nr_types is not None else window[..., 0:3]
         inst = proc_np_hv_batch(jnp.asarray(seg[None]), jnp.asarray(valid[None]))[0]
         inst = remap_label(np.asarray(inst)[y0:y1, x0:x1])
@@ -231,13 +234,70 @@ class WSIInferManager(base.InferManagerBase):
               if self.nr_types is not None else None)
         return inst, tp
 
-    def _dispatch_post_processing(self, boxes, callback, desc):
+    def _dispatch_post_processing(self, boxes, callback, desc,
+                                  batch: int = 4, inflight: int = 2):
+        """Batched + software-pipelined device post-processing.
+
+        Boxes are grouped by canonical window shape, dispatched to the
+        device `batch` windows at a time with `inflight` batches queued
+        (hides dispatch + transfer latency). Host callbacks run
+        sequentially as each batch completes — completion order within
+        a phase, like the reference's `as_completed` polling
+        (infer/wsi.py:423); only the phase barriers are ordered.
+        """
         start = time.perf_counter()
+        pred_map = np.load(self._pred_map_path, mmap_mode="r")
+
+        # group box indices by canonical window shape (keeps one
+        # compiled program per shape class, batches within a class)
+        groups: Dict[tuple, list] = {}
         for idx in range(boxes.shape[0]):
             tl, br = boxes[idx]
-            inst, tp = self._post_proc_box(tl, br)
-            inst_info = extract_instance_info(inst, tp)
-            callback(inst, inst_info, tl, br)
+            _, shape = self._canonical_window(tl, br)
+            groups.setdefault(shape, []).append(idx)
+
+        def finalize(item):
+            idxs, inst_dev, geoms, tps = item
+            inst_host = np.asarray(inst_dev)
+            for k, idx in enumerate(idxs):
+                y0, y1, x0, x1 = geoms[k]
+                inst = remap_label(inst_host[k, y0:y1, x0:x1])
+                inst_info = extract_instance_info(inst, tps[k])
+                tl, br = boxes[idx]
+                callback(inst, inst_info, tl, br)
+
+        pending = []
+        for shape, idxs in groups.items():
+            for i in range(0, len(idxs), batch):
+                sub = idxs[i : i + batch]
+                wins, valids, geoms, tps = [], [], [], []
+                for idx in sub:
+                    tl, br = boxes[idx]
+                    window, valid, geom = self._read_window(pred_map, tl, br)
+                    wins.append(
+                        window[..., 1:4] if self.nr_types is not None
+                        else window[..., 0:3]
+                    )
+                    valids.append(valid)
+                    geoms.append(geom)
+                    y0, y1, x0, x1 = geom
+                    tps.append(
+                        window[..., 0].astype(np.int32)[y0:y1, x0:x1]
+                        if self.nr_types is not None else None
+                    )
+                n = len(sub)
+                if n < batch:
+                    pad = batch - n
+                    wins += [np.zeros_like(wins[0])] * pad
+                    valids += [np.zeros_like(valids[0])] * pad
+                inst_dev = proc_np_hv_batch(
+                    jnp.asarray(np.stack(wins)), jnp.asarray(np.stack(valids))
+                )[:n]
+                pending.append((sub, inst_dev, geoms, tps))
+                while len(pending) > inflight:
+                    finalize(pending.pop(0))
+        while pending:
+            finalize(pending.pop(0))
         logger.info("%s: %d boxes in %.2fs", desc, boxes.shape[0],
                     time.perf_counter() - start)
 
