@@ -39,6 +39,9 @@ def build_parser():
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of the run "
                         "(view in TensorBoard)")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="tile mode: round-robin images across this many "
+                        "chips (data-parallel inference)")
 
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -88,7 +91,8 @@ def main(argv=None):
             from ..infer.tile import TileInferManager
 
             mgr = TileInferManager(
-                device_post_proc=not args.host_post_proc, **common
+                device_post_proc=not args.host_post_proc,
+                n_devices=args.n_devices, **common
             )
             mgr.process_file_list(
                 args.input_dir, args.output_dir, draw_dot=args.draw_dot,

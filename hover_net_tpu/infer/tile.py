@@ -62,12 +62,20 @@ class TileInferManager(base.InferManagerBase):
     """Runs tile-mode inference. Patch shapes follow the model mode
     (270/80 original, 256/164 fast — run_infer.py:145-150)."""
 
-    def __init__(self, *args, device_post_proc: bool = True, **kwargs):
+    def __init__(self, *args, device_post_proc: bool = True,
+                 n_devices: int = 1, **kwargs):
         super().__init__(*args, **kwargs)
         self.patch_input_shape = self.cfg.patch_input_shape
         self.patch_output_shape = self.cfg.patch_output_shape
         self.device_post_proc = device_post_proc
         self._pipelines = {}
+        # multi-chip inference is embarrassingly parallel over images:
+        # round-robin device placement, one compiled program reused on
+        # every chip, zero collectives (the DP analog of the reference's
+        # DataParallel inference, infer/base.py:69)
+        all_devices = jax.devices()
+        self.devices = all_devices[: max(1, min(n_devices, len(all_devices)))]
+        self._rr = 0
 
     # ------------------------------------------------------------ core
 
@@ -83,14 +91,30 @@ class TileInferManager(base.InferManagerBase):
 
     def predict_image_async(self, img: np.ndarray):
         """Dispatch one image's full pipeline (single jit call); returns
-        device arrays (full_map, inst, tp) without blocking."""
+        device arrays (full_map, inst, tp) without blocking. Successive
+        calls rotate over the available devices."""
         src_h, src_w = img.shape[:2]
         win, step = self.patch_input_shape, self.patch_output_shape
         pads, coords, grid = prepare_tile_patching((src_h, src_w), win, step)
         padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
                         mode="reflect")
         run = self._pipeline_for(grid, (src_h, src_w))
-        return run(self.variables, jnp.asarray(padded), jnp.asarray(coords, jnp.int32))
+        device = self.devices[self._rr % len(self.devices)]
+        self._rr += 1
+        dev_img = jax.device_put(jnp.asarray(padded), device)
+        dev_coords = jax.device_put(jnp.asarray(coords, jnp.int32), device)
+        variables = self._variables_on(device)
+        return run(variables, dev_img, dev_coords)
+
+    def _variables_on(self, device):
+        if len(self.devices) == 1:
+            return self.variables
+        cache = getattr(self, "_var_cache", None)
+        if cache is None:
+            cache = self._var_cache = {}
+        if device not in cache:
+            cache[device] = jax.device_put(self.variables, device)
+        return cache[device]
 
     def finalize_prediction(self, img, dev_out):
         """Pull device results, remap ids, extract instance info."""
@@ -191,7 +215,8 @@ class TileInferManager(base.InferManagerBase):
                 except Exception:
                     logger.exception("crash on %s", name)
                     continue
-            while pending and (path is None or len(pending) >= 2):
+            while pending and (path is None
+                               or len(pending) >= 2 * len(self.devices)):
                 name, img, dev_out, t0 = pending.pop(0)
                 try:
                     pred_map, inst_map, inst_info = self.finalize_prediction(
