@@ -106,29 +106,30 @@ def main():
         )
         inst = proc_np_hv_batch(pred_stack, valid_mask)[0]
         # fold a reduction of the forward output into the pulled array
-        # so its computation cannot be dead-code-eliminated
+        # so its computation cannot be dead-code-eliminated; crop to the
+        # source size inside the executable (smaller transfer)
         anchor = jnp.sum(full[..., 1]).astype(jnp.int32)
-        return inst.at[0, 0].max(anchor * 0)
+        return inst[:size, :size].at[0, 0].max(anchor * 0)
 
     def dispatch_tile(padded_host):
         dev_img = jnp.asarray(padded_host)  # host->HBM once per tile
         return tile_fn(variables, dev_img, coords_dev, pred_dev, valid)
 
     def pull(inst):
-        return np.asarray(inst[:size, :size])  # int32 instance map
+        return np.asarray(inst)  # int32 instance map
 
     # warmup/compile
     for _ in range(2):
         pull(dispatch_tile(padded))
 
-    # pipelined stream: keep 2 tiles in flight (hides the tunnel's
+    # pipelined stream: keep 3 tiles in flight (hides the tunnel's
     # ~100ms/dispatch launch latency, like the real tile/WSI pipelines)
     iters = 10
     t0 = time.perf_counter()
     inflight = []
     for _ in range(iters):
         inflight.append(dispatch_tile(padded))
-        if len(inflight) >= 2:
+        if len(inflight) >= 3:
             pull(inflight.pop(0))
     while inflight:
         pull(inflight.pop(0))

@@ -99,7 +99,10 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw, batch: int = 0):
         inst = proc_np_hv_batch(seg[None], valid[None])[0]
         tp_map = (full[..., 0].astype(jnp.int32) if typed
                   else jnp.zeros(full.shape[:2], jnp.int32))
-        return full, inst, tp_map
+        # crop to source inside the same executable: smaller transfers,
+        # no extra slice dispatches on the host side
+        sh, sw = src_hw
+        return full[:sh, :sw], inst[:sh, :sw], tp_map[:sh, :sw]
 
     return run
 

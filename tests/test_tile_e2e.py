@@ -30,7 +30,6 @@ def test_extract_assemble_roundtrip():
     patches = extract_patches(jnp.asarray(img), jnp.asarray(coords), 16)
     assert patches.shape == (6, 16, 16, 3)
     np.testing.assert_array_equal(np.asarray(patches[0]), img[:16, :16])
-    sub = extract_patches(jnp.asarray(img), jnp.asarray(coords[:0] * 0), 16)  # noqa
     grid = assemble_grid(
         extract_patches(
             jnp.asarray(img),
