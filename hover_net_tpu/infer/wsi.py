@@ -105,10 +105,12 @@ class WSIInferManager(base.InferManagerBase):
     # --------------------------------------------------------- pipeline
 
     def _run_chunk(self, chunk_img: np.ndarray, patch_coords: np.ndarray):
-        """Forward all selected patches of one chunk.
+        """Dispatch forwards for all selected patches of one chunk.
 
         patch_coords: [K, 2] input top-lefts relative to the chunk.
-        Returns [K, h, w, C] float32 outputs (host).
+        Returns a list of (device_output, valid_count) — device handles
+        only; the writer thread pulls them, overlapping the transfer
+        with the next chunk's dispatches.
         """
         fwd = self._forward_batch_fn()
         bs = self.batch_size
@@ -123,7 +125,7 @@ class WSIInferManager(base.InferManagerBase):
                 )
             out = fwd(self.variables, dev_img, jnp.asarray(sub, jnp.int32))
             outs.append((out, n))
-        return np.concatenate([np.asarray(o)[:n] for o, n in outs], axis=0)
+        return outs
 
     def _get_raw_prediction(self, chunk_info, patch_info):
         """Chunk loop: read region -> device forward -> writer thread
@@ -136,7 +138,12 @@ class WSIInferManager(base.InferManagerBase):
                 item = write_q.get()
                 if item is None:
                     break
-                out_tl, outputs, coords = item
+                out_tl, dev_outs, coords = item
+                # pull device handles here: transfers overlap with the
+                # main thread's next-chunk dispatches
+                outputs = np.concatenate(
+                    [np.asarray(o)[:n] for o, n in dev_outs], axis=0
+                )
                 for k in range(len(coords)):
                     y, x = coords[k]
                     ph, pw = outputs.shape[1:3]
