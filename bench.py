@@ -51,7 +51,7 @@ def main():
     import jax.numpy as jnp
 
     from hover_net_tpu.models import HoVerNet, HoVerNetConfig
-    from hover_net_tpu.infer.steps import extract_patches, assemble_grid, infer_output
+    from hover_net_tpu.infer.steps import extract_patches, infer_output
     from hover_net_tpu.data.tiling import prepare_tile_patching
     from hover_net_tpu.ops.post_proc_device import proc_np_hv_batch
 

@@ -16,7 +16,6 @@ making it a no-op. We implement the obviously-intended behaviour.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
 
 import cv2
 import numpy as np

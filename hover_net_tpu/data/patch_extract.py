@@ -8,7 +8,6 @@ window-step margin with reflection so every source pixel is covered).
 from __future__ import annotations
 
 import math
-from typing import Iterator, Tuple
 
 import numpy as np
 

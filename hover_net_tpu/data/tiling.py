@@ -17,7 +17,6 @@ dataloader workers.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import numpy as np
 

@@ -9,7 +9,6 @@ format or reference PyTorch `.tar` files (auto-detected).
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional
 
 import jax

@@ -12,7 +12,6 @@ per patch), and the forward runs in bfloat16 with float32 heads.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

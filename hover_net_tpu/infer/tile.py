@@ -38,7 +38,6 @@ import numpy as np
 import scipy.io as sio
 
 from ..data.tiling import prepare_tile_patching
-from ..ops.post_proc_device import proc_np_hv_batch
 from ..ops.post_proc_host import extract_instance_info, process as host_process
 from ..utils.qupath import to_qupath
 from ..utils.viz import overlay_instances

@@ -32,7 +32,6 @@ the Sobel window sees true tissue instead of a reflected border.
 from __future__ import annotations
 
 import glob
-import json
 import logging
 import os
 import pathlib
@@ -40,7 +39,7 @@ import queue
 import shutil
 import threading
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import cv2
 import jax

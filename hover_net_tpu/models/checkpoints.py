@@ -14,17 +14,16 @@ transpose OIHW -> HWIO.
 
 from __future__ import annotations
 
-import json
 import os
 import tempfile
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import numpy as np
 from flax import serialization
 from flax import traverse_util
 
-from .hovernet import HoVerNet, HoVerNetConfig
+from .hovernet import HoVerNetConfig
 
 
 # ---------------------------------------------------------------- native

@@ -14,8 +14,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import tempfile
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

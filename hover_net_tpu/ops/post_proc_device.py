@@ -39,7 +39,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import filters
 from .cc_np import ellipse_structuring_element

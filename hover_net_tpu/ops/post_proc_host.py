@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 import cv2
-from scipy import ndimage
 
 from .cc_np import (
     binary_fill_holes,
@@ -25,7 +24,6 @@ from .cc_np import (
     remove_small_objects,
     watershed,
 )
-from ..utils.crops import get_bounding_box
 
 
 def _minmax_norm(x):

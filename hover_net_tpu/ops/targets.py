@@ -11,7 +11,7 @@ import numpy as np
 from scipy import ndimage
 
 from ..utils.crops import cropping_center, get_bounding_box
-from .cc_np import label as cc_label, remove_small_objects
+from .cc_np import remove_small_objects
 
 
 def fix_mirror_padding(ann):

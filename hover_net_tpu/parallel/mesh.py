@@ -10,7 +10,7 @@ parallel patch batches). The helpers keep a seam for richer meshes
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

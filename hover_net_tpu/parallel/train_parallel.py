@@ -15,7 +15,6 @@ loss, Adam update. Differences that are deliberate TPU-first upgrades:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

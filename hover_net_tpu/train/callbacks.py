@@ -19,7 +19,6 @@ import tempfile
 
 import numpy as np
 
-from .engine import Events
 
 
 class BaseCallback:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrainConfig
-from ..data.train_pipeline import PatchDataset, TrainLoader, device_prefetch
+from ..data.train_pipeline import PatchDataset, TrainLoader
 from ..models.hovernet import HoVerNet, HoVerNetConfig
 from ..models import checkpoints as ckpt
 from ..parallel.mesh import make_mesh, replicated, shard_batch
