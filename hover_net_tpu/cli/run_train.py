@@ -86,7 +86,7 @@ def main(argv=None):
 
     from ..train.manager import TrainManager
 
-    TrainManager(config, n_devices=args.n_devices).run()
+    TrainManager(config, n_devices=args.n_devices).run(resume=args.resume)
 
 
 if __name__ == "__main__":

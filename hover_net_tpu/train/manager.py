@@ -64,14 +64,30 @@ class TrainManager:
 
     # ----------------------------------------------------------- phases
 
-    def run(self):
+    def run(self, resume: bool = False):
+        """Run all phases. With resume=True, completed phases are
+        skipped and the first incomplete phase continues from its last
+        checkpoint (the reference has no training resume at all —
+        run_train.py:176 TODO)."""
         np.random.seed(self.cfg.seed)
         prev_dir = None
         n_phases = len(self.cfg.phases)
         for idx, phase in enumerate(self.cfg.phases):
             save_dir = (self.cfg.log_dir if n_phases == 1
                         else os.path.join(self.cfg.log_dir, f"{idx:02d}"))
-            self.run_once(phase, save_dir, prev_dir)
+            if resume:
+                last = last_checkpoint(save_dir, allow_missing=True) \
+                    if os.path.isdir(save_dir) else None
+                done = last is not None and int(
+                    os.path.basename(last).split("=")[1].split(".")[0]
+                ) >= phase.nr_epochs
+                if done:
+                    print(f"phase {idx}: complete ({last}), skipping")
+                    prev_dir = save_dir
+                    continue
+                self.run_once(phase, save_dir, prev_dir, resume=True)
+            else:
+                self.run_once(phase, save_dir, prev_dir)
             prev_dir = save_dir
 
     # ------------------------------------------------------------ setup
@@ -124,7 +140,8 @@ class TrainManager:
             if not resume:
                 if os.path.isdir(save_dir):
                     shutil.rmtree(save_dir)
-                os.makedirs(save_dir, exist_ok=True)
+            os.makedirs(save_dir, exist_ok=True)
+            if not os.path.exists(f"{save_dir}/stats.json"):
                 with open(f"{save_dir}/stats.json", "w") as f:
                     json.dump({}, f)
             from tensorboardX import SummaryWriter
