@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: VMEM-resident marker watershed for small windows.
+
+The scan-based watershed (post_proc_device.watershed_flood) round-trips
+HBM on every directional scan. For windows that fit VMEM (<= ~512^2:
+3 int32 arrays + temporaries ~ 4-6 MB), this kernel keeps (cost, label)
+in VMEM and runs the whole 4-neighbour relaxation to fixpoint inside
+one kernel — each sweep is pure VPU work with zero HBM traffic.
+
+Cost packing and tie-breaking semantics are identical to
+watershed_flood (packed (level << HOP_BITS) | hops words, label-min
+ties), so both paths converge to the same minimax-path fixpoint;
+equality is asserted in tests/test_watershed_pallas.py.
+
+Grid: one program per batch element. Intended consumers: the WSI
+boundary-strip / cross windows (256x2048 strips are processed by the
+scan path; 512^2 crosses and small tiles fit here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .post_proc_device import HOP_BITS, HOP_MASK, INT_MAX
+
+
+def _sweep(cost, lab, energy_sh, mask):
+    """One synchronous 4-neighbour relaxation step (VPU only)."""
+
+    def shifted(x, dy, dx, fill):
+        if dy == -1:
+            x = jnp.concatenate([x[1:], jnp.full_like(x[:1], fill)], axis=0)
+        elif dy == 1:
+            x = jnp.concatenate([jnp.full_like(x[:1], fill), x[:-1]], axis=0)
+        if dx == -1:
+            x = jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
+        elif dx == 1:
+            x = jnp.concatenate([jnp.full_like(x[:, :1], fill), x[:, :-1]], axis=1)
+        return x
+
+    best_c, best_l = cost, lab
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        q_c = shifted(cost, dy, dx, INT_MAX)
+        q_l = shifted(lab, dy, dx, 0)
+        has = (q_l > 0) & (q_c != INT_MAX)
+        lev_bits = jnp.maximum(q_c & ~HOP_MASK, energy_sh)
+        hop_bits = (q_c & HOP_MASK) + 1
+        cand = jnp.where(has, lev_bits | hop_bits, INT_MAX)
+        take = (cand < best_c) | ((cand == best_c) & has & (q_l < best_l))
+        best_c = jnp.where(take, cand, best_c)
+        best_l = jnp.where(take, q_l, best_l)
+    # full relaxation (not just unlabeled growth): any pixel may improve
+    best_c = jnp.where(mask, best_c, cost)
+    best_l = jnp.where(mask, best_l, lab)
+    # seeds keep their identity: their own cost is minimal by
+    # construction, so the lex-min never displaces them
+    return best_c, best_l
+
+
+def _kernel(energy_ref, markers_ref, mask_ref, lab_out_ref):
+    energy_sh = energy_ref[0] << HOP_BITS
+    markers = markers_ref[0]
+    mask = mask_ref[0] > 0
+
+    seeded = (markers > 0) & mask
+    lab0 = jnp.where(seeded, markers, 0)
+    cost0 = jnp.where(seeded, energy_sh, INT_MAX)
+
+    def cond(state):
+        return state[2]
+
+    def body(state):
+        cost, lab, _ = state
+        nc, nl = _sweep(cost, lab, energy_sh, mask)
+        changed = jnp.any((nc != cost) | (nl != lab))
+        return nc, nl, changed
+
+    cost, lab, _ = jax.lax.while_loop(cond, body, (cost0, lab0, jnp.bool_(True)))
+    lab_out_ref[0] = jnp.where(mask, lab, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def watershed_pallas(energy_q, markers, mask, interpret: bool = False):
+    """[N,H,W] quantised energy/markers/mask -> [N,H,W] int32 labels.
+
+    Same fixpoint as post_proc_device.watershed_flood; requires the
+    per-window arrays to fit VMEM (H*W <= ~512*512).
+    """
+    n, h, w = energy_q.shape
+    grid = (n,)
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.int32),
+        interpret=interpret,
+    )(energy_q.astype(jnp.int32), markers.astype(jnp.int32),
+      mask.astype(jnp.int32))
