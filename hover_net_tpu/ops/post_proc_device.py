@@ -263,25 +263,38 @@ def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = 256,
     scale = jnp.where(hi > lo, (num_levels - 1) / (hi - lo), 0.0)
     energy_q = jnp.round((dist - lo) * scale).astype(jnp.int32)
 
-    if _use_pallas_watershed(h, w):
+    mode = _pallas_watershed_mode(h, w)
+    if mode == "single":
         from .watershed_pallas import watershed_pallas
 
         return watershed_pallas(energy_q, marker_lab, blb)
+    if mode == "blocked":
+        from .watershed_pallas import watershed_pallas_blocked
+
+        return watershed_pallas_blocked(energy_q, marker_lab, blb)
     return watershed_flood(energy_q, marker_lab, blb, num_levels)
 
 
-def _use_pallas_watershed(h: int, w: int) -> bool:
-    """VMEM-size windows on TPU run the fused Pallas watershed (67x
-    faster than the HBM scan path on dense 512^2 windows); larger
-    windows and non-TPU backends use the scan formulation."""
+def _pallas_watershed_mode(h: int, w: int) -> str:
+    """On TPU, VMEM-size windows run the fused Pallas watershed (67x
+    faster than the HBM scan path on dense 512^2 windows) and larger
+    maps run the halo-blocked variant (instance parity bounded by the
+    96px halo vs component extent); non-TPU backends and
+    HNT_NO_PALLAS=1 use the scan formulation."""
     import os
 
     if os.environ.get("HNT_NO_PALLAS"):
-        return False
-    if h * w > 512 * 512:
-        return False
+        return "scan"
     try:
         platform = jax.devices()[0].platform
     except Exception:
-        return False
-    return platform in ("tpu", "axon")
+        return "scan"
+    if platform not in ("tpu", "axon"):
+        return "scan"
+    if h * w <= 512 * 512:
+        return "single"
+    # standalone the blocked variant beats the scan at 1148^2, but
+    # fused into the full tile program it regresses the end-to-end
+    # bench (1.3 vs 3.3 tiles/s) — scheduling interaction to chase in
+    # round 2; opt-in meanwhile
+    return "blocked" if os.environ.get("HNT_BLOCKED_PALLAS") else "scan"

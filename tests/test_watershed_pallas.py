@@ -56,3 +56,23 @@ def test_pallas_batched(seed=2):
     ref = np.asarray(watershed_flood(e, m, b, 256))
     got = np.asarray(watershed_pallas(e, m, b, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_blocked_matches_scan_instance_level():
+    """Block-decomposed pallas watershed on an 800x700 map: identical
+    partition to the scan solve at instance level (flood paths are
+    component-bounded, components < halo)."""
+    from hover_net_tpu.ops.watershed_pallas import watershed_pallas_blocked
+    from hover_net_tpu.metrics import remap_label, get_fast_aji
+
+    rng = np.random.default_rng(5)
+    energy, markers, mask = make_case(rng, shape=(800, 700), n=160)
+    e = jnp.asarray(energy[None])
+    m = jnp.asarray(markers[None])
+    b = jnp.asarray(mask[None])
+    ref = np.asarray(watershed_flood(e, m, b, 256))[0]
+    got = np.asarray(watershed_pallas_blocked(e, m, b, interpret=True))[0]
+    r = remap_label(ref)
+    g = remap_label(got)
+    assert r.max() == g.max(), (r.max(), g.max())
+    assert get_fast_aji(r, g) > 0.999
