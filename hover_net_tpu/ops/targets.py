@@ -1,100 +1,178 @@
 """Training-target generation (NP map + horizontal/vertical distance maps).
 
-Host-side NumPy: this runs in dataloader workers per sample, exactly like
-the reference (models/hovernet/targets.py:17-114). Per-instance math is
-identical; verified on synthetic instances in tests/test_targets.py.
+Host-side NumPy, run per-sample in dataloader workers. Unlike the
+reference's per-instance Python loop (models/hovernet/targets.py:17-96,
+dataloader/augs.py:18-32), everything here is computed with whole-image
+vectorized passes:
+
+- `fix_mirror_padding`: one connected-components sweep over the
+  "4-neighbours with the same nonzero id" pixel graph splits every
+  mirror-duplicated instance at once, numbered exactly like the
+  reference's ascending per-id relabel loop.
+- `gen_instance_hv_map`: per-instance bounding boxes, centers of mass and
+  normalization denominators come from segment reductions (bincount /
+  ufunc.at) over the flattened label image; both offset maps are then
+  rendered in a single masked gather — no per-instance rescans.
+
+Semantics are pinned bit-exactly against a literal transcription of the
+reference algorithm by tests/test_targets.py (oracle-equality sweep over
+random blob/mirror cases).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from scipy import ndimage
+from scipy.sparse import coo_matrix
+from scipy.sparse.csgraph import connected_components
 
-from ..utils.crops import cropping_center, get_bounding_box
+from ..utils.crops import cropping_center
 from .cc_np import remove_small_objects
 
 
 def fix_mirror_padding(ann):
     """Re-label instance fragments duplicated by mirrored shape
-    augmentation (dataloader/augs.py:18-32)."""
-    ann = ann.copy()
-    current_max_id = np.amax(ann)
-    inst_list = list(np.unique(ann))
-    if 0 in inst_list:
-        inst_list.remove(0)
-    for inst_id in inst_list:
-        inst_map = np.array(ann == inst_id, np.uint8)
-        remapped_ids = ndimage.label(inst_map)[0]
-        remapped_ids[remapped_ids > 1] += current_max_id
-        ann[remapped_ids > 1] = remapped_ids[remapped_ids > 1]
-        current_max_id = np.amax(ann)
-    return ann
+    augmentation (reference dataloader/augs.py:18-32).
+
+    Two pixels belong to the same fragment iff they are 4-connected and
+    share the same nonzero id. Fragment numbering reproduces the
+    reference exactly: ids are visited in ascending order; the fragment
+    whose first pixel comes earliest in raster order keeps the original
+    id, fragments j = 2..k of that id get `running_max + j`, and the
+    running max then advances by k.
+    """
+    ann = np.asarray(ann)
+    out = ann.copy()
+    flat = ann.ravel()
+    fg_idx = np.flatnonzero(flat)
+    if fg_idx.size == 0:
+        return out
+
+    h, w = ann.shape
+    n = ann.size
+    node = np.full(n, -1, np.int64)
+    node = node.reshape(h, w)
+    node.ravel()[fg_idx] = np.arange(fg_idx.size)
+
+    same_v = (ann[:-1] == ann[1:]) & (ann[:-1] != 0)
+    same_h = (ann[:, :-1] == ann[:, 1:]) & (ann[:, :-1] != 0)
+    ei = np.concatenate([node[:-1][same_v], node[:, :-1][same_h]])
+    ej = np.concatenate([node[1:][same_v], node[:, 1:][same_h]])
+
+    g = coo_matrix(
+        (np.ones(ei.size, np.uint8), (ei, ej)),
+        shape=(fg_idx.size, fg_idx.size),
+    )
+    n_frag, frag = connected_components(g, directed=False)
+
+    orig_id = np.zeros(n_frag, flat.dtype)
+    orig_id[frag] = flat[fg_idx]
+    first_pix = np.full(n_frag, n, np.int64)
+    np.minimum.at(first_pix, frag, fg_idx)
+
+    # per-original-id fragment counts; ids with a single fragment keep it
+    uniq_ids, id_pos = np.unique(orig_id, return_inverse=True)
+    frag_count = np.bincount(id_pos)
+    if frag_count.max() == 1:
+        return out
+
+    new_of_frag = orig_id.astype(np.int64).copy()
+    running = int(ann.max())
+    for p in np.flatnonzero(frag_count > 1):  # ascending id order
+        frs = np.flatnonzero(id_pos == p)
+        frs = frs[np.argsort(first_pix[frs])]
+        k = frs.size
+        new_of_frag[frs[1:]] = running + np.arange(2, k + 1)
+        running += k
+    out.ravel()[fg_idx] = new_of_frag[frag]
+    return out
 
 
 def gen_instance_hv_map(ann, crop_shape):
     """Per-pixel horizontal/vertical offsets from each instance's center
-    of mass, normalised to [-1, 1] within the instance
-    (targets.py:17-96)."""
-    orig_ann = ann.copy()
-    fixed_ann = fix_mirror_padding(orig_ann)
-    crop_ann = cropping_center(fixed_ann, crop_shape)
-    crop_ann = remove_small_objects(crop_ann, min_size=30)
+    of mass, normalized to [-1, 1] within the instance
+    (reference targets.py:17-96 semantics, vectorized).
+    """
+    ann = np.asarray(ann)
+    hgt, wdt = ann.shape[:2]
+    x_map = np.zeros((hgt, wdt), dtype=np.float32)
+    y_map = np.zeros((hgt, wdt), dtype=np.float32)
 
-    x_map = np.zeros(orig_ann.shape[:2], dtype=np.float32)
-    y_map = np.zeros(orig_ann.shape[:2], dtype=np.float32)
+    fixed_ann = fix_mirror_padding(ann)
+    # instances counted only if they survive the center crop with >= 30px
+    crop_ann = remove_small_objects(
+        cropping_center(fixed_ann, crop_shape), min_size=30
+    )
 
-    inst_list = list(np.unique(crop_ann))
-    if 0 in inst_list:
-        inst_list.remove(0)
-    for inst_id in inst_list:
-        inst_map = np.array(fixed_ann == inst_id, np.uint8)
-        inst_box = get_bounding_box(inst_map)
-        # expand bbox by 2px (valid: patches are mirror-padded upstream)
-        inst_box[0] -= 2
-        inst_box[2] -= 2
-        inst_box[1] += 2
-        inst_box[3] += 2
-        inst_box[0] = max(inst_box[0], 0)
-        inst_box[2] = max(inst_box[2], 0)
+    ys, xs = np.nonzero(fixed_ann)
+    if ys.size == 0:
+        return np.dstack([x_map, y_map])
+    vals = fixed_ann[ys, xs]
+    uniq, lab = np.unique(vals, return_inverse=True)  # lab: 0..K-1
+    k = uniq.size
 
-        inst_map = inst_map[inst_box[0] : inst_box[1], inst_box[2] : inst_box[3]]
-        if inst_map.shape[0] < 2 or inst_map.shape[1] < 2:
-            continue
+    cnt = np.bincount(lab, minlength=k)
+    sum_y = np.bincount(lab, weights=ys, minlength=k)
+    sum_x = np.bincount(lab, weights=xs, minlength=k)
+    rmin = np.full(k, hgt, np.int64)
+    rmax = np.zeros(k, np.int64)
+    cmin = np.full(k, wdt, np.int64)
+    cmax = np.zeros(k, np.int64)
+    np.minimum.at(rmin, lab, ys)
+    np.maximum.at(rmax, lab, ys)
+    np.minimum.at(cmin, lab, xs)
+    np.maximum.at(cmax, lab, xs)
 
-        inst_com = list(ndimage.center_of_mass(inst_map))
-        inst_com[0] = int(inst_com[0] + 0.5)
-        inst_com[1] = int(inst_com[1] + 0.5)
+    # bbox expanded by 2px, min side clamped at 0, max side clamped by the
+    # image (the reference's unclamped slice end behaves the same)
+    rmin_e = np.maximum(rmin - 2, 0)
+    rmax_e = np.minimum(rmax + 1 + 2, hgt)
+    cmin_e = np.maximum(cmin - 2, 0)
+    cmax_e = np.minimum(cmax + 1 + 2, wdt)
 
-        inst_x_range = np.arange(1, inst_map.shape[1] + 1) - inst_com[1]
-        inst_y_range = np.arange(1, inst_map.shape[0] + 1) - inst_com[0]
-        inst_x, inst_y = np.meshgrid(inst_x_range, inst_y_range)
+    surv_ids = np.unique(crop_ann)
+    surv = np.isin(uniq, surv_ids[surv_ids != 0])
+    ok = surv & (rmax_e - rmin_e >= 2) & (cmax_e - cmin_e >= 2)
 
-        inst_x[inst_map == 0] = 0
-        inst_y[inst_map == 0] = 0
-        inst_x = inst_x.astype("float32")
-        inst_y = inst_y.astype("float32")
+    # center of mass in expanded-bbox coordinates, rounded half-up —
+    # integer sums keep the float64 division identical to
+    # ndimage.center_of_mass on the cropped mask
+    icom_y = np.floor((sum_y - cnt * rmin_e) / cnt + 0.5).astype(np.int64)
+    icom_x = np.floor((sum_x - cnt * cmin_e) / cnt + 0.5).astype(np.int64)
+    anchor_y = rmin_e + icom_y - 1  # offset = row - anchor (1-based grid)
+    anchor_x = cmin_e + icom_x - 1
 
-        if np.min(inst_x) < 0:
-            inst_x[inst_x < 0] /= -np.amin(inst_x[inst_x < 0])
-        if np.min(inst_y) < 0:
-            inst_y[inst_y < 0] /= -np.amin(inst_y[inst_y < 0])
-        if np.max(inst_x) > 0:
-            inst_x[inst_x > 0] /= np.amax(inst_x[inst_x > 0])
-        if np.max(inst_y) > 0:
-            inst_y[inst_y > 0] /= np.amax(inst_y[inst_y > 0])
+    y_off = (ys - anchor_y[lab]).astype(np.float32)
+    x_off = (xs - anchor_x[lab]).astype(np.float32)
 
-        x_box = x_map[inst_box[0] : inst_box[1], inst_box[2] : inst_box[3]]
-        x_box[inst_map > 0] = inst_x[inst_map > 0]
-        y_box = y_map[inst_box[0] : inst_box[1], inst_box[2] : inst_box[3]]
-        y_box[inst_map > 0] = inst_y[inst_map > 0]
+    # per-instance normalization denominators over the signed halves
+    neg_y = np.zeros(k, np.float32)
+    pos_y = np.zeros(k, np.float32)
+    neg_x = np.zeros(k, np.float32)
+    pos_x = np.zeros(k, np.float32)
+    np.minimum.at(neg_y, lab, y_off)
+    np.maximum.at(pos_y, lab, y_off)
+    np.minimum.at(neg_x, lab, x_off)
+    np.maximum.at(pos_x, lab, x_off)
 
+    def _norm(off, neg, pos):
+        dn = np.where(neg < 0, -neg, 1.0).astype(np.float32)[lab]
+        dp = np.where(pos > 0, pos, 1.0).astype(np.float32)[lab]
+        return np.where(off < 0, off / dn, np.where(off > 0, off / dp, off))
+
+    y_off = _norm(y_off, neg_y, pos_y)
+    x_off = _norm(x_off, neg_x, pos_x)
+
+    keep = ok[lab]
+    y_map[ys[keep], xs[keep]] = y_off[keep]
+    x_map[ys[keep], xs[keep]] = x_off[keep]
     return np.dstack([x_map, y_map])
 
 
 def gen_targets(ann, crop_shape, **kwargs):
-    """{np_map, hv_map} center-cropped to crop_shape (targets.py:100-114)."""
+    """{np_map, hv_map} center-cropped to crop_shape
+    (reference targets.py:100-114)."""
     hv_map = gen_instance_hv_map(ann, crop_shape)
-    np_map = ann.copy()
+    np_map = np.asarray(ann).copy()
     np_map[np_map > 0] = 1
     return {
         "hv_map": cropping_center(hv_map, crop_shape),
