@@ -55,6 +55,10 @@ class TrainConfig:
     nr_procs_train: int = 8
     nr_procs_valid: int = 4
 
+    # phase-0 ImageNet preact-ResNet50 weights (.npz TF- or torch-keyed,
+    # or .tar/.msgpack); feeds default_phases (reference opt.py:55)
+    pretrained: Optional[str] = None
+
     phases: Optional[List[PhaseConfig]] = None
     # test/debug hook: override {"aug","act","out"} shapes (any input
     # size satisfying the decoder divisibility constraints compiles —
@@ -64,7 +68,7 @@ class TrainConfig:
     def __post_init__(self):
         assert self.model_mode in MODE_SHAPES, self.model_mode
         if self.phases is None:
-            self.phases = default_phases(self.model_mode)
+            self.phases = default_phases(self.model_mode, self.pretrained)
         if not self.type_classification:
             self.nr_types = None
 

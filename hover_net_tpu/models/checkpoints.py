@@ -128,6 +128,135 @@ def torch_name_map(cfg: HoVerNetConfig):
     return rows
 
 
+def tf_name_map(cfg: HoVerNetConfig):
+    """[(tf_key, flax_path)] following the original TensorFlow HoVer-Net
+    variable naming (the rule behind the reference's 668-row
+    variables_tf2pytorch.csv, generated instead of shipped; verified
+    against that CSV in tests/test_checkpoints.py). TF kernels are HWIO —
+    already Flax layout, so no transposes anywhere on this path."""
+
+    def bn(tf_prefix, path):
+        return [
+            (f"{tf_prefix}/gamma:0", ("params",) + path + ("scale",)),
+            (f"{tf_prefix}/beta:0", ("params",) + path + ("bias",)),
+            (f"{tf_prefix}/mean/EMA:0", ("batch_stats",) + path + ("mean",)),
+            (f"{tf_prefix}/variance/EMA:0", ("batch_stats",) + path + ("var",)),
+        ]
+
+    def conv(tf_key, path):
+        return [(tf_key, ("params",) + path + ("kernel",))]
+
+    rows = []
+    rows += conv("conv0/W:0", ("conv0", "conv"))
+    rows += bn("conv0/bn", ("conv0", "bn"))
+    res_counts = (3, 4, 6, 3)
+    for g, count in enumerate(res_counts):
+        d = f"d{g}"
+        for k in range(count):
+            u = f"group{g}/block{k}"
+            fu = (d, f"unit{k}")
+            if k != 0:
+                rows += bn(f"{u}/preact/bn", fu + ("preact_bn",))
+            rows += conv(f"{u}/conv1/W:0", fu + ("conv1",))
+            rows += bn(f"{u}/conv1/bn", fu + ("conv1_bn",))
+            rows += conv(f"{u}/conv2/W:0", fu + ("conv2",))
+            rows += bn(f"{u}/conv2/bn", fu + ("conv2_bn",))
+            rows += conv(f"{u}/conv3/W:0", fu + ("conv3",))
+        rows += conv(f"group{g}/block0/convshortcut/W:0", (d, "shortcut"))
+        rows += bn(f"group{g}/bnlast/bn", (d, "bn"))
+    rows += conv("conv_bot/W:0", ("conv_bot",))
+
+    dense_counts = {"u3": 8, "u2": 4}
+    for branch in cfg.branches:
+        fb = f"decoder_{branch}"
+        for lvl in ("u3", "u2"):
+            rows += conv(f"{branch}/{lvl}/conva/W:0", (fb, f"{lvl}_conva"))
+            for k in range(dense_counts[lvl]):
+                du = f"{branch}/{lvl}/dense/blk/{k}"
+                fdu = (fb, f"{lvl}_dense", f"unit{k}")
+                rows += bn(f"{du}/preact_bna/bn", fdu + ("preact_bn",))
+                rows += conv(f"{du}/conv1/W:0", fdu + ("conv1",))
+                rows += bn(f"{du}/conv1/bn", fdu + ("conv1_bn",))
+                rows += conv(f"{du}/conv2/W:0", fdu + ("conv2",))
+            rows += bn(f"{branch}/{lvl}/dense/blk_bna/bn",
+                       (fb, f"{lvl}_dense", "bn"))
+            rows += conv(f"{branch}/{lvl}/convf/W:0", (fb, f"{lvl}_convf"))
+        rows += conv(f"{branch}/u1/conva/W:0", (fb, "u1_conva"))
+        rows += bn(f"preact_out_{branch}/bn", (fb, "u0_bn"))
+        rows += conv(f"conv_out_{branch}/W:0", (fb, "u0_conv"))
+        rows.append((f"conv_out_{branch}/b:0",
+                     ("params", fb, "u0_conv", "bias")))
+    return rows
+
+
+# variables under these module tops constitute the encoder that ImageNet
+# pretraining must fully cover (run_train.py:196-203 loads strict=False;
+# we instead fail loudly on an incomplete encoder)
+ENCODER_TOPS = ("conv0", "d0", "d1", "d2", "d3")
+
+
+def load_pretrained_npz(path: str, cfg: HoVerNetConfig,
+                        require_encoder: bool = True):
+    """Import a `.npz` pretrained checkpoint (reference
+    run_train.py:196-203, models/hovernet/opt.py:55).
+
+    Accepts either naming style:
+    - original TensorFlow preact-ResNet50 names
+      (``group0/block0/conv1/W:0``; HWIO kernels, imported directly), or
+    - torch state-dict names (``d0.units.0.conv1.weight``; OIHW kernels,
+      transposed), with optional ``module.`` prefixes.
+
+    Returns the partial {params, batch_stats} pytree of every mapped
+    variable present in the file (merge with `merge_partial`). With
+    `require_encoder`, raises KeyError unless conv0 + d0..d3 are fully
+    covered — a phase-0 "pretrained" file that leaves encoder variables
+    random is a silently broken recipe.
+    """
+    arrays = {}
+    with np.load(path) as z:
+        for k in z.files:
+            key = k[len("module."):] if k.startswith("module.") else k
+            arrays[key] = np.asarray(z[k])
+
+    tf_style = any(k.endswith(":0") for k in arrays)
+    if tf_style:
+        rows = [(k, p, None) for k, p in tf_name_map(cfg)]
+    else:
+        rows = torch_name_map(cfg)
+
+    flat, covered = {}, set()
+    for key, flax_path, transform in rows:
+        if key not in arrays:
+            continue
+        v = arrays[key]
+        if transform == "OIHW":
+            v = v.transpose(2, 3, 1, 0)
+        flat[flax_path] = v
+        covered.add(key)
+
+    if require_encoder:
+        missing = [key for key, p, _ in rows
+                   if p[1] in ENCODER_TOPS and key not in covered]
+        if missing:
+            raise KeyError(
+                f"pretrained npz {path} misses {len(missing)} encoder "
+                f"variables, e.g. {missing[:5]}"
+            )
+
+    ignorable = tuple(
+        k for k in arrays
+        if k not in covered and (
+            k.startswith("linear") or "upsample" in k
+            or k.endswith("num_batches_tracked")
+        )
+    )
+    unknown = sorted(set(arrays) - covered - set(ignorable))
+    if unknown:
+        print(f"pretrained npz: {len(unknown)} unmapped variables "
+              f"ignored, e.g. {unknown[:5]}")
+    return traverse_util.unflatten_dict(flat)
+
+
 def import_torch_state_dict(state: Dict[str, np.ndarray], cfg: HoVerNetConfig):
     """torch state dict (numpy values, 'module.' prefixes stripped) ->
     {params, batch_stats} pytree."""

@@ -110,11 +110,15 @@ class TrainManager:
         print(f"phase pretrained: {path}")
         if str(path).endswith((".tar", ".pth", ".pt")):
             variables = ckpt.load_torch_tar(path, model.cfg)
+        elif str(path).endswith(".npz"):
+            # ImageNet preact-ResNet50 encoder (or full-model TF export);
+            # must cover the whole encoder or load_pretrained_npz raises
+            variables = ckpt.load_pretrained_npz(path, model.cfg)
         else:
             variables, _ = ckpt.load_checkpoint(path)
         merged_p, merged_b = merge_partial(
             (state.params, state.batch_stats),
-            (variables["params"], variables["batch_stats"]),
+            (variables.get("params", {}), variables.get("batch_stats", {})),
         )
         return state.replace(params=merged_p, batch_stats=merged_b)
 
@@ -304,10 +308,15 @@ def merge_partial(current, incoming):
         unknown = [k for k in iflat if k not in cflat]
         loaded = {}
         for k, v in cflat.items():
-            if k in iflat and np.shape(iflat[k]) == np.shape(v):
-                loaded[k] = jnp.asarray(iflat[k])
-            else:
+            if k not in iflat:
                 loaded[k] = v
+            elif np.shape(iflat[k]) != np.shape(v):
+                raise ValueError(
+                    f"pretrained shape mismatch at {'/'.join(k)}: "
+                    f"{np.shape(iflat[k])} vs model {np.shape(v)}"
+                )
+            else:
+                loaded[k] = jnp.asarray(iflat[k])
         if missing:
             print(f"missing {name} variables:", [
                 "/".join(k) for k in missing[:8]
