@@ -104,7 +104,8 @@ def main(argv=None):
             mgr = WSIInferManager(
                 chunk_shape=args.chunk_shape, tile_shape=args.tile_shape,
                 ambiguous_size=args.ambiguous_size, proc_mag=args.proc_mag,
-                cache_path=args.cache_path, **common,
+                cache_path=args.cache_path, n_devices=args.n_devices,
+                **common,
             )
             mgr.process_wsi_list(
                 args.input_dir, args.output_dir,

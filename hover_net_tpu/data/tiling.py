@@ -49,6 +49,20 @@ def prepare_tile_patching(img_hw, window: int, step: int):
     return (padt, padb, padl, padr), coords, (nr_rows, nr_cols)
 
 
+def bucket_grid_dim(n: int) -> int:
+    """Round a patch-grid dimension up to a canonical class: exact up to
+    8, then geometric ~12.5% steps (next multiple of 2^(log2(n)-2)).
+    Bounds the number of compiled tile programs for a directory of
+    heterogeneous image sizes to O(log^2) classes at <= ~14% padded
+    compute per dim (the reference instead re-batches by RAM budget,
+    infer/tile.py:236-282)."""
+    n = int(n)
+    if n <= 8:
+        return max(n, 1)
+    q = 1 << (n.bit_length() - 3)
+    return -(-n // q) * q
+
+
 def patch_top_left_grid(img_shape, input_size, output_size):
     """Top-left coords of (input, output) windows covering img_shape
     (infer/wsi.py:64-88). All args are (y, x) int arrays."""

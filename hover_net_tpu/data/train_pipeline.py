@@ -134,6 +134,31 @@ class TrainLoader:
             self._pool.shutdown()
 
 
+class PrefetchLoader:
+    """Iterable wrapper: batches come out already device-put (sharded
+    over `mesh`), with `buffer` batches in flight — host aug/IO and the
+    host->HBM transfer of batch k+1 overlap the device compute of batch
+    k. This is the double-buffering upgrade over the reference's
+    pinned-memory DataLoader workers (run_train.py:124-131)."""
+
+    def __init__(self, loader: TrainLoader, mesh=None, buffer: int = 2):
+        self.loader = loader
+        self.mesh = mesh
+        self.buffer = buffer
+
+    def __iter__(self):
+        return device_prefetch(iter(self.loader), self.mesh, self.buffer)
+
+    def __len__(self):
+        return self.loader.steps_per_epoch()
+
+    def steps_per_epoch(self):
+        return self.loader.steps_per_epoch()
+
+    def close(self):
+        self.loader.close()
+
+
 def device_prefetch(host_iter, mesh=None, buffer: int = 2):
     """Double-buffered host->device pipeline: device_put the next batch
     while the current one computes."""

@@ -57,7 +57,7 @@ def extract_patches(padded_img, coords, size: int):
     return jax.vmap(one)(coords)
 
 
-def make_tile_pipeline(model: HoVerNet, grid, src_hw, batch: int = 0):
+def make_tile_pipeline(model: HoVerNet, grid, src_hw=None, batch: int = 0):
     """ONE jit-compiled dispatch per tile: padded image -> (pred_map,
     inst_map, tp_map).
 
@@ -67,9 +67,20 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw, batch: int = 0):
     launch latency, so a 5-dispatch pipeline is ~10x slower end-to-end
     than this single-call one.
 
-    grid: (rows, cols) patch grid; src_hw: valid source size. batch>0
-    runs the forward in fixed-size sub-batches via lax.map to bound peak
-    activation memory (0 = single batch).
+    grid: (rows, cols) patch grid; batch>0 runs the forward in
+    fixed-size sub-batches via lax.map to bound peak activation memory
+    (0 = single batch).
+
+    src_hw: the valid source size.
+    - tuple: baked in as a compile-time constant; outputs are cropped to
+      it inside the executable (one program per exact image size).
+    - None: the returned fn takes a runtime `src_hw` [2] int32 instead —
+      the stitched map is mirrored about the source edges
+      (BORDER_REFLECT_101, exactly cv2's implicit Sobel border in the
+      reference post-proc) before post-processing, the validity mask
+      confines instances to the source, and outputs stay at canonical
+      size (callers crop host-side). One compiled program then serves a
+      whole canonical grid class of image sizes.
     """
     from ..ops.post_proc_device import proc_np_hv_batch
 
@@ -77,8 +88,7 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw, batch: int = 0):
     typed = model.cfg.nr_types is not None
     r, c = grid
 
-    @jax.jit
-    def run(variables, padded_img, coords):
+    def forward_stitch(variables, padded_img, coords):
         patches = extract_patches(padded_img, coords, win)
         if batch and batch < patches.shape[0]:
             k = patches.shape[0]
@@ -92,18 +102,45 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw, batch: int = 0):
             out = infer_output(model, variables, patches)
         h, w, ch = out.shape[1], out.shape[2], out.shape[3]
         full = out.reshape(r, c, h, w, ch).transpose(0, 2, 1, 3, 4)
-        full = full.reshape(r * h, c * w, ch)
-        valid = jnp.zeros(full.shape[:2], bool).at[: src_hw[0], : src_hw[1]].set(True)
+        return full.reshape(r * h, c * w, ch)
+
+    if src_hw is not None:
+
+        @jax.jit
+        def run(variables, padded_img, coords):
+            full = forward_stitch(variables, padded_img, coords)
+            valid = jnp.zeros(full.shape[:2], bool) \
+                .at[: src_hw[0], : src_hw[1]].set(True)
+            seg = full[..., 1:4] if typed else full[..., 0:3]
+            inst = proc_np_hv_batch(seg[None], valid[None])[0]
+            tp_map = (full[..., 0].astype(jnp.int32) if typed
+                      else jnp.zeros(full.shape[:2], jnp.int32))
+            # crop to source inside the same executable: smaller
+            # transfers, no extra slice dispatches on the host side
+            sh, sw = src_hw
+            return full[:sh, :sw], inst[:sh, :sw], tp_map[:sh, :sw]
+
+        return run
+
+    @jax.jit
+    def run_dynamic(variables, padded_img, coords, src_hw_vec):
+        full = forward_stitch(variables, padded_img, coords)
+        sh, sw = src_hw_vec[0], src_hw_vec[1]
+        rr = jnp.arange(full.shape[0])
+        cc = jnp.arange(full.shape[1])
+        # reflect-101 the source content over the canonical extension so
+        # min-max normalisation sees exactly the source value range
+        ridx = jnp.where(rr < sh, rr, jnp.clip(2 * sh - 2 - rr, 0))
+        cidx = jnp.where(cc < sw, cc, jnp.clip(2 * sw - 2 - cc, 0))
+        full = full[ridx][:, cidx]
+        valid = (rr < sh)[:, None] & (cc < sw)[None, :]
         seg = full[..., 1:4] if typed else full[..., 0:3]
         inst = proc_np_hv_batch(seg[None], valid[None])[0]
         tp_map = (full[..., 0].astype(jnp.int32) if typed
                   else jnp.zeros(full.shape[:2], jnp.int32))
-        # crop to source inside the same executable: smaller transfers,
-        # no extra slice dispatches on the host side
-        sh, sw = src_hw
-        return full[:sh, :sw], inst[:sh, :sw], tp_map[:sh, :sw]
+        return full, inst, tp_map
 
-    return run
+    return run_dynamic
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "valid_hw"))

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.io as sio
 
-from ..data.tiling import prepare_tile_patching
+from ..data.tiling import bucket_grid_dim, prepare_tile_patching
 from ..ops.post_proc_host import extract_instance_info, process as host_process
 from ..utils.qupath import to_qupath
 from ..utils.viz import overlay_instances
@@ -78,32 +78,51 @@ class TileInferManager(base.InferManagerBase):
 
     # ------------------------------------------------------------ core
 
-    def _pipeline_for(self, grid, src_hw):
-        key = (grid, src_hw)
-        if key not in self._pipelines:
+    def _pipeline_for(self, grid):
+        """One compiled program per CANONICAL grid class (dynamic source
+        size), so a directory of heterogeneous image sizes compiles O(1)
+        programs instead of one per distinct size."""
+        if grid not in self._pipelines:
             from .steps import make_tile_pipeline
 
-            self._pipelines[key] = make_tile_pipeline(
-                self.model, grid, src_hw, batch=self.batch_size
+            self._pipelines[grid] = make_tile_pipeline(
+                self.model, grid, src_hw=None, batch=self.batch_size
             )
-        return self._pipelines[key]
+        return self._pipelines[grid]
 
     def predict_image_async(self, img: np.ndarray):
         """Dispatch one image's full pipeline (single jit call); returns
-        device arrays (full_map, inst, tp) without blocking. Successive
-        calls rotate over the available devices."""
+        device arrays (full_map, inst, tp) without blocking — at
+        canonical (bucketed-grid) size, cropped to source by
+        finalize_prediction. Successive calls rotate over the available
+        devices."""
         src_h, src_w = img.shape[:2]
         win, step = self.patch_input_shape, self.patch_output_shape
         pads, coords, grid = prepare_tile_patching((src_h, src_w), win, step)
         padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
                         mode="reflect")
-        run = self._pipeline_for(grid, (src_h, src_w))
+        rows, cols = bucket_grid_dim(grid[0]), bucket_grid_dim(grid[1])
+        if (rows, cols) != grid:
+            # zero-extend the canvas to the canonical grid; outputs there
+            # are replaced by the in-executable reflect-101 mirror before
+            # post-processing, and cropped away on finalize
+            ext_h = rows * step + (win - step) - padded.shape[0]
+            ext_w = cols * step + (win - step) - padded.shape[1]
+            padded = np.pad(padded, ((0, ext_h), (0, ext_w), (0, 0)))
+            ys = np.arange(0, rows * step, step, dtype=np.int32)
+            xs = np.arange(0, cols * step, step, dtype=np.int32)
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            coords = np.stack([yy.ravel(), xx.ravel()], axis=-1)
+        run = self._pipeline_for((rows, cols))
         device = self.devices[self._rr % len(self.devices)]
         self._rr += 1
         dev_img = jax.device_put(jnp.asarray(padded), device)
         dev_coords = jax.device_put(jnp.asarray(coords, jnp.int32), device)
+        dev_src = jax.device_put(
+            jnp.asarray([src_h, src_w], jnp.int32), device
+        )
         variables = self._variables_on(device)
-        return run(variables, dev_img, dev_coords)
+        return run(variables, dev_img, dev_coords, dev_src)
 
     def _variables_on(self, device):
         if len(self.devices) == 1:
@@ -121,7 +140,7 @@ class TileInferManager(base.InferManagerBase):
         full, inst_dev, tp_dev = dev_out
         inst_map = remap_label(np.asarray(inst_dev)[:src_h, :src_w])
         pred_type = np.asarray(tp_dev)[:src_h, :src_w] if self.nr_types else None
-        inst_info = extract_instance_info(inst_map, pred_type)
+        inst_map, inst_info = extract_instance_info(inst_map, pred_type)
         pred_map = np.asarray(full[:src_h, :src_w]).astype(np.float32)
         return pred_map, inst_map.astype(np.int32), inst_info
 
@@ -172,11 +191,13 @@ class TileInferManager(base.InferManagerBase):
         cv2.imwrite(f"{output_dir}/overlay/{name}.png",
                     cv2.cvtColor(overlaid, cv2.COLOR_RGB2BGR))
 
-        if save_qupath and nuc_vals:
+        if save_qupath:
+            # header-only tsv for 0 nuclei, like the reference's
+            # unconditional export (infer/tile.py:198-205)
             to_qupath(
                 f"{output_dir}/qupath/{name}.tsv",
-                np.array([v["centroid"] for v in nuc_vals]),
-                np.array([v["type"] for v in nuc_vals]),
+                np.array([v["centroid"] for v in nuc_vals]).reshape(-1, 2),
+                np.array([v["type"] for v in nuc_vals], dtype=np.int64),
                 self.type_info,
             )
         base.save_json(f"{output_dir}/json/{name}.json", inst_info, None)

@@ -81,10 +81,15 @@ def proc_np_hv(pred: np.ndarray) -> np.ndarray:
 def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
     """Per-instance bbox / centroid / contour (+ majority-vote type).
 
-    Matches the output contract of post_proc.py:94-186:
-    dict[id] = {bbox, centroid, contour, type, type_prob} with
-    coordinates in (x, y) for centroid/contour and bbox as
-    [[rmin, cmin], [rmax, cmax]].
+    Returns ``(pred_inst, inst_info)`` where inst_info matches the output
+    contract of post_proc.py:94-186 — dict[id] = {bbox, centroid,
+    contour, type, type_prob} with (x, y) centroid/contour coordinates
+    and bbox as [[rmin, cmin], [rmax, cmax]] — and pred_inst is kept in
+    EXACT sync with the dict: instances whose contour degenerates to
+    fewer than 3 points (1-2 px watershed artifacts) are erased from the
+    returned map and the remaining ids renumbered 1..N, so every nonzero
+    map id always has a dict entry (the reference silently leaves such
+    orphan ids in the map, post_proc.py:140-143).
 
     Implementation: bbox/centroid/size/type-histograms come from one
     O(area) native pass (ops/instance_table.py) instead of the
@@ -94,7 +99,7 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
 
     Requires contiguous instance ids 1..N (remap first).
     """
-    from .instance_table import instance_table
+    from .instance_table import apply_lut, instance_table
 
     pred_inst = np.ascontiguousarray(pred_inst, np.int32)
     bbox_t, centroid_t, size_t, hist_t = instance_table(
@@ -102,6 +107,7 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
     )
 
     inst_info = {}
+    skipped = []
     for idx in range(bbox_t.shape[0]):
         if size_t[idx] == 0:
             continue
@@ -110,10 +116,13 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
         contours = cv2.findContours(
             inst_mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
         )
+        if not contours[0]:
+            skipped.append(idx + 1)
+            continue
         contour = np.squeeze(contours[0][0].astype("int32"))
-        # < 3 points is not a contour (likely an artifact) — skip, as
-        # the reference does (post_proc.py:140-143)
+        # < 3 points is not a contour (an artifact, post_proc.py:140-143)
         if contour.ndim != 2 or contour.shape[0] < 3:
+            skipped.append(idx + 1)
             continue
         contour[:, 0] += cmin  # X
         contour[:, 1] += rmin  # Y
@@ -134,7 +143,16 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
             info["type_prob"] = float(hist[inst_type] / (size_t[idx] + 1.0e-6))
         inst_info[idx + 1] = info
 
-    return inst_info
+    if skipped:
+        # erase artifact ids and renumber survivors 1..N so the map and
+        # the dict cannot desynchronize
+        lut = np.zeros(bbox_t.shape[0] + 1, np.int32)
+        keep = sorted(inst_info)
+        lut[keep] = np.arange(1, len(keep) + 1, dtype=np.int32)
+        pred_inst = apply_lut(pred_inst.copy(), lut)
+        inst_info = {int(lut[k]): inst_info[k] for k in keep}
+
+    return pred_inst, inst_info
 
 
 def process(pred_map, nr_types=None, return_centroids=False):
@@ -161,5 +179,5 @@ def process(pred_map, nr_types=None, return_centroids=False):
 
     inst_info = None
     if return_centroids or nr_types is not None:
-        inst_info = extract_instance_info(pred_inst, pred_type)
+        pred_inst, inst_info = extract_instance_info(pred_inst, pred_type)
     return pred_inst, inst_info

@@ -1,0 +1,400 @@
+"""Pallas TPU kernel: the ENTIRE irregular post-proc tail in VMEM.
+
+The HBM-scan pipeline (ops/post_proc_device.py) spends most of its time
+in the prep stages — 3 CCLs, 2 small-object removals, fill-holes — each
+a fixpoint of full-map segmented scans round-tripping HBM. This module
+runs everything after the Sobel energy (blob CCL + cleanup, marker
+derivation, fill-holes, 5x5 opening, marker CCL + cleanup, watershed)
+inside ONE Pallas kernel over halo-padded VMEM windows:
+
+- windows are `core + 2*halo` squares DMA'd from HBM (overlapping reads,
+  no XLA gather duplication); each program writes one `core` x `core`
+  output block;
+- component labels are global-padded-map linear indices, so labels agree
+  across windows and cores stitch without a merge step;
+- every run of mask pixels in a row belongs to one component, so all
+  fixpoints (CCL min-label, outside-flood for fill-holes, watershed
+  minimax costs) run as Hillis-Steele doubling scans along rows/columns
+  — log2(win) shifted combines per direction, pure VPU work on VMEM
+  (jax.lax.associative_scan itself does not lower inside Mosaic);
+- small-object removal (min_size=10) is EXACT without histograms: a
+  connected component has < `min_size` pixels iff the same-label count
+  within the Manhattan-radius-(min_size-1) diamond is < min_size (BFS
+  depth k from any member covers >= k+1 member pixels).
+
+Correctness contract (tests/test_post_proc_pallas.py): components whose
+extent fits the halo are labelled identically to the whole-map solve;
+larger ones may split at seams (instance-level AJI >= 0.99 vs the host
+oracle on nuclei content). Energy quantisation uses the fixed [-1, 0]
+range of `dist` (post_proc.py:66-69 arithmetic keeps dist in [-1, 0])
+instead of the per-map min/max, making windows self-contained.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import filters
+from .cc_np import ellipse_structuring_element
+from .post_proc_device import HOP_BITS, HOP_MASK, INT_MAX
+
+CORE = 320
+HALO = 96
+WIN = CORE + 2 * HALO  # 512
+
+
+# ------------------------------------------------------ in-kernel shifts
+
+def _shift(x, d: int, axis: int, fill):
+    """Shift x by +d (bring x[i-d] to i) or -d along axis, filling with
+    `fill` (static d)."""
+    if d == 0:
+        return x
+    f = jnp.full_like(x[:abs(d)] if axis == 0 else x[:, :abs(d)], fill)
+    if axis == 0:
+        return (jnp.concatenate([f, x[:-d]], 0) if d > 0
+                else jnp.concatenate([x[-d:], f], 0))
+    return (jnp.concatenate([f, x[:, :-d]], 1) if d > 0
+            else jnp.concatenate([x[:, -d:], f], 1))
+
+
+def _hs_scan(elems, op, identity, axis: int, reverse: bool, n: int):
+    """Hillis-Steele inclusive scan of an associative `op` over tuples of
+    arrays. Forward: position i = op over [0..i] segmented combine;
+    reverse: over [i..n-1]."""
+    d = 1
+    while d < n:
+        dd = -d if reverse else d
+        shifted = tuple(
+            _shift(e, dd, axis, ident) for e, ident in zip(elems, identity)
+        )
+        elems = op(shifted, elems)
+        d *= 2
+    return elems
+
+
+def _seg_min_scan(vals, mask, axis: int, reverse: bool, n: int):
+    """Min over the contiguous run of mask ending at each position (in
+    scan direction)."""
+    flags = ~mask
+
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
+
+    _, v = _hs_scan((flags, vals), op, (True, INT_MAX), axis, reverse, n)
+    return jnp.where(mask, v, vals)
+
+
+def _ccl_fixpoint(mask, idx, n: int):
+    """4-connected component labels = min global index, via alternating
+    segmented scans to fixpoint."""
+    lab0 = jnp.where(mask, idx, INT_MAX)
+
+    def body(state):
+        lab, _ = state
+        new = _seg_min_scan(lab, mask, 1, False, n)
+        new = _seg_min_scan(new, mask, 1, True, n)
+        new = _seg_min_scan(new, mask, 0, False, n)
+        new = _seg_min_scan(new, mask, 0, True, n)
+        return new, jnp.any(new != lab)
+
+    lab, _ = jax.lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
+    return jnp.where(mask, lab, 0)
+
+
+def _remove_small(lab, min_size: int):
+    """Exact small-component removal: same-label count over the Manhattan
+    diamond of radius min_size-1."""
+    r = min_size - 1
+    fg = lab > 0
+    cnt = jnp.zeros(lab.shape, jnp.int32)
+    for dy in range(-r, r + 1):
+        row = _shift(lab, dy, 0, 0)
+        m = r - abs(dy)
+        # incremental horizontal shifts reuse the previous one
+        left = row
+        right = row
+        cnt = cnt + (row == lab).astype(jnp.int32)
+        for dx in range(1, m + 1):
+            left = _shift(left, 1, 1, 0)
+            right = _shift(right, -1, 1, 0)
+            cnt = cnt + (left == lab).astype(jnp.int32)
+            cnt = cnt + (right == lab).astype(jnp.int32)
+    keep = fg & (cnt >= min_size)
+    return jnp.where(keep, lab, 0)
+
+
+def _fill_holes(mask, n: int):
+    """Fill bg regions not connected to the window border (4-conn)."""
+    bg = ~mask
+    h, w = mask.shape
+    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    out0 = bg & border
+
+    def seg_or(out, axis, reverse):
+        flags = ~bg
+
+        def op(a, b):
+            fa, oa = a
+            fb, ob = b
+            return fa | fb, jnp.where(fb, ob, oa | ob)
+
+        _, o = _hs_scan((flags, out), op, (True, False), axis, reverse, n)
+        return jnp.where(bg, o, out)
+
+    def body(state):
+        out, _ = state
+        new = seg_or(out, 1, False)
+        new = seg_or(new, 1, True)
+        new = seg_or(new, 0, False)
+        new = seg_or(new, 0, True)
+        return new, jnp.any(new != out)
+
+    outside, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (out0, jnp.bool_(True))
+    )
+    return mask | (bg & ~outside)
+
+
+def _selem_count(mask, selem, fill: int):
+    """Structuring-element hit count by explicit shifts (selem small
+    static 0/1 numpy array)."""
+    kh, kw = selem.shape
+    cy, cx = kh // 2, kw // 2
+    cnt = jnp.zeros(mask.shape, jnp.int32)
+    m = mask.astype(jnp.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            if not selem[dy, dx]:
+                continue
+            s = _shift(m, cy - dy, 0, fill)
+            s = _shift(s, cx - dx, 1, fill)
+            cnt = cnt + s
+    return cnt
+
+
+def _ws_combine(a, b):
+    """Directional watershed relaxation combine (associative; identical
+    semantics to post_proc_device._ws_scan's operator)."""
+    fa, Ma, na, ca, ba = a
+    fb, Mb, nb, cb, bb = b
+    can = ~fb & (ca != INT_MAX)
+    lev_bits = jnp.maximum(ca & ~HOP_MASK, Mb)
+    hop_bits = (ca & HOP_MASK) + nb
+    cand = jnp.where(can, lev_bits | hop_bits, INT_MAX)
+    cl = jnp.where(can, ba, 0)
+    take = (cand < cb) | ((cand == cb) & can & (cl < bb))
+    return (fa | fb, jnp.maximum(Ma, Mb), na + nb,
+            jnp.where(take, cand, cb), jnp.where(take, cl, bb))
+
+
+_WS_IDENT = (False, 0, 0, INT_MAX, 0)
+
+
+def _ws_scan(cost, lab, energy_sh, mask, axis: int, reverse: bool, n: int):
+    barrier = ~mask
+    ok = (lab > 0) & ~barrier
+    elems = (
+        barrier,
+        energy_sh,
+        jnp.ones_like(energy_sh),
+        jnp.where(ok, cost, INT_MAX),
+        jnp.where(ok, lab, 0),
+    )
+    _, _, _, b_cost, b_lab = _hs_scan(
+        elems, _ws_combine, _WS_IDENT, axis, reverse, n
+    )
+    has = b_lab > 0
+    better = has & ((b_cost < cost) | ((b_cost == cost) & (b_lab < lab)))
+    return (jnp.where(better, b_cost, cost), jnp.where(better, b_lab, lab))
+
+
+def _watershed(energy_q, markers, mask, n: int):
+    seeded = (markers > 0) & mask
+    lab0 = jnp.where(seeded, markers, 0)
+    energy_sh = energy_q << HOP_BITS
+    cost0 = jnp.where(seeded, energy_sh, INT_MAX)
+
+    def body(state):
+        cost, lab, _ = state
+        nc, nb = cost, lab
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 1, False, n)
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 1, True, n)
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 0, False, n)
+        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 0, True, n)
+        changed = jnp.any(nb != lab) | jnp.any(nc != cost)
+        return nc, nb, changed
+
+    cost, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], body, (cost0, lab0, jnp.bool_(True))
+    )
+    return jnp.where(mask, lab, 0)
+
+
+# ---------------------------------------------------------------- kernel
+
+def _make_kernel(padded_w: int, img_h: int, img_w: int, num_levels: int,
+                 marker_min_size: int, blob_min_size: int, win: int,
+                 core: int, halo: int):
+    selem = ellipse_structuring_element(5, 5)
+    selem_total = int(selem.sum())
+
+    def kernel(blb_hbm, sob_hbm, out_ref):
+        bi = pl.program_id(0)
+        by = pl.program_id(1)
+        bx = pl.program_id(2)
+        oy = by * core
+        ox = bx * core
+
+        def run(blb_v, sob_v, sem):
+            c1 = pltpu.make_async_copy(
+                blb_hbm.at[bi, pl.ds(oy, win), pl.ds(ox, win)], blb_v,
+                sem.at[0],
+            )
+            c2 = pltpu.make_async_copy(
+                sob_hbm.at[bi, pl.ds(oy, win), pl.ds(ox, win)], sob_v,
+                sem.at[1],
+            )
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+
+            blb_raw = blb_v[:] > 0
+            sob = sob_v[:]
+
+            # global (padded-map) linear index labels: consistent across
+            # windows, so cores stitch without a merge pass
+            gy = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0) + oy
+            gx = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1) + ox
+            idx = gy * padded_w + gx + 1
+            # the image occupies padded rows [halo, halo+img_h)
+            in_img = ((gy >= halo) & (gy < halo + img_h)
+                      & (gx >= halo) & (gx < halo + img_w))
+
+            blb_lab = _ccl_fixpoint(blb_raw, idx, win)
+            blb_lab = _remove_small(blb_lab, blob_min_size)
+            blb = blb_lab > 0
+            blb_f = blb.astype(jnp.float32)
+
+            overall = jnp.maximum(sob - (1.0 - blb_f), 0.0)
+            dist = (1.0 - overall) * blb_f
+            # reflect-101 the 1-px ring beyond the IMAGE border so the
+            # 3x3 blur matches cv2/the XLA path there (window edges are
+            # >= halo px from any core pixel, zero fill is fine)
+            dist = jnp.where(gy == halo - 1, _shift(dist, -2, 0, 0.0), dist)
+            dist = jnp.where(gy == halo + img_h, _shift(dist, 2, 0, 0.0), dist)
+            dist = jnp.where(gx == halo - 1, _shift(dist, -2, 1, 0.0), dist)
+            dist = jnp.where(gx == halo + img_w, _shift(dist, 2, 1, 0.0), dist)
+            # 3x3 [1,2,1]/4 Gaussian via shifts
+            k = jnp.float32(0.25)
+            row = (_shift(dist, 1, 0, 0.0) + _shift(dist, -1, 0, 0.0)
+                   + 2.0 * dist) * k
+            dist = (_shift(row, 1, 1, 0.0) + _shift(row, -1, 1, 0.0)
+                    + 2.0 * row) * k
+            dist = -dist
+            # fixed-range quantisation: dist in [-1, 0] by construction
+            energy_q = jnp.round((dist + 1.0) * (num_levels - 1)).astype(
+                jnp.int32
+            )
+
+            marker = blb & ~(overall >= 0.4)
+            marker = _fill_holes(marker, win)
+            # cv2.erode border: outside-of-IMAGE counts as foreground
+            er = _selem_count(marker | ~in_img, selem, fill=1) >= selem_total
+            er = er & in_img
+            marker = (_selem_count(er, selem, fill=0) > 0) & in_img
+            mk_lab = _ccl_fixpoint(marker, idx, win)
+            mk_lab = _remove_small(mk_lab, marker_min_size)
+
+            lab = _watershed(energy_q, mk_lab, blb, win)
+            out_ref[0] = lab[halo: halo + core, halo: halo + core]
+
+        pl.run_scoped(
+            run,
+            blb_v=pltpu.VMEM((win, win), jnp.int32),
+            sob_v=pltpu.VMEM((win, win), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_levels", "marker_min_size", "blob_min_size",
+                     "core", "halo", "interpret"),
+)
+def proc_tail_blocked(blb_raw, sob, num_levels: int = 256,
+                      marker_min_size: int = 10, blob_min_size: int = 10,
+                      core: int = CORE, halo: int = HALO,
+                      interpret: bool = False):
+    """Blocked-VMEM post-proc tail.
+
+    blb_raw: [N,H,W] bool (thresholded + validity-masked NP map)
+    sob:     [N,H,W] f32 max(inverted-normalised Sobel h, v)
+    Returns [N,H,W] int32 labels (global padded indices; remap on host).
+    """
+    n, h, w = blb_raw.shape
+    win = core + 2 * halo
+    nby = -(-h // core)
+    nbx = -(-w // core)
+    ph = nby * core + 2 * halo
+    pw = nbx * core + 2 * halo
+
+    def pad(x, fill):
+        return jnp.pad(
+            x, ((0, 0), (halo, ph - halo - h), (halo, pw - halo - w)),
+            constant_values=fill,
+        )
+
+    blb_p = pad(blb_raw.astype(jnp.int32), 0)
+    sob_p = pad(sob.astype(jnp.float32), 0.0)
+
+    kernel = _make_kernel(pw, h, w, num_levels, marker_min_size,
+                          blob_min_size, win, core, halo)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nby, nbx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, core, core), lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nby * core, nbx * core),
+                                       jnp.int32),
+        interpret=interpret,
+    )(blb_p, sob_p)
+    return out[:, :h, :w]
+
+
+def proc_np_hv_blocked(pred, valid_mask=None, num_levels: int = 256,
+                       marker_min_size: int = 10, blob_min_size: int = 10,
+                       core: int = CORE, halo: int = HALO,
+                       interpret: bool = False):
+    """Full batched post-proc with the blocked-VMEM tail: XLA computes the
+    (blob-independent) Sobel energy; the Pallas kernel does everything
+    else. Same interface as post_proc_device.proc_np_hv_batch."""
+    pred = pred.astype(jnp.float32)
+    blb = pred[..., 0] >= 0.5
+    if valid_mask is not None:
+        blb = blb & valid_mask
+    h_dir = filters.minmax_norm(pred[..., 1])
+    v_dir = filters.minmax_norm(pred[..., 2])
+    sobelh = 1.0 - filters.minmax_norm(filters.sobel_h(h_dir, 21))
+    sobelv = 1.0 - filters.minmax_norm(filters.sobel_v(v_dir, 21))
+    sob = jnp.maximum(sobelh, sobelv)
+    return proc_tail_blocked(
+        blb, sob, num_levels=num_levels, marker_min_size=marker_min_size,
+        blob_min_size=blob_min_size, core=core, halo=halo,
+        interpret=interpret,
+    )

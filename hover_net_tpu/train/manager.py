@@ -22,10 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrainConfig
-from ..data.train_pipeline import PatchDataset, TrainLoader
+from ..data.train_pipeline import PatchDataset, PrefetchLoader, TrainLoader
 from ..models.hovernet import HoVerNet, HoVerNetConfig
 from ..models import checkpoints as ckpt
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, replicated
 from ..parallel.train_parallel import (
     TrainState, init_train_state, make_eval_step, make_optimizer,
     make_train_step,
@@ -195,14 +195,16 @@ class TrainManager:
             model, tx, freeze_encoder=phase.freeze_encoder,
             loss_weights=phase.loss_weights, mesh=self.mesh,
         )
-        eval_step = make_eval_step(model)
+        eval_step = make_eval_step(model, mesh=self.mesh)
 
         nr_types = self.cfg.nr_types
+        n_dev = self.n_devices
 
         def train_run_step(batch, engine_state):
-            dev_batch = shard_batch(self.mesh, batch)
+            # batches arrive device-resident (PrefetchLoader double-
+            # buffers the host->HBM transfer under the previous step)
             run_info.train_state, (terms, viz) = train_step(
-                run_info.train_state, dev_batch
+                run_info.train_state, batch
             )
             ema = {k: float(v) for k, v in terms.items()}
             run_info.last_grad_norm = ema.get("grad_norm")
@@ -222,7 +224,15 @@ class TrainManager:
                 "params": run_info.train_state.params,
                 "batch_stats": run_info.train_state.batch_stats,
             }
-            out = eval_step(variables, jnp.asarray(batch["img"]))
+            # pad the (possibly short) final batch to a device multiple
+            # for the sharded eval step, slice back after
+            imgs = np.asarray(batch["img"])
+            n = imgs.shape[0]
+            rem = (-n) % n_dev
+            if rem:
+                imgs = np.concatenate([imgs, imgs[-1:].repeat(rem, 0)])
+            out = eval_step(variables, jnp.asarray(imgs))
+            out = {k: v[:n] for k, v in out.items()}
             raw = {
                 "imgs": batch["img"],
                 "true_np": batch["np_map"],
@@ -235,8 +245,11 @@ class TrainManager:
                 raw["pred_tp"] = np.asarray(out["pred_tp"])
             return {"raw": raw}
 
-        train_engine = RunEngine("train", train_loader, train_run_step,
-                                 run_info, log_info)
+        train_engine = RunEngine(
+            "train",
+            PrefetchLoader(train_loader, self.mesh),
+            train_run_step, run_info, log_info,
+        )
         valid_engine = RunEngine("valid", valid_loader, valid_run_step,
                                  run_info, log_info)
 

@@ -84,3 +84,33 @@ def test_wsi_stitching_tiny_slide_with_overrunning_boxes(tmp_path):
     assert abs(int(got.max()) - int(whole.max())) <= 1
     if whole.max() > 0:
         assert get_fast_aji(whole, got) > 0.95
+
+
+def test_wsi_read_window_box_fully_outside_slide(tmp_path):
+    """A canonical window anchored past both slide dims must read as an
+    all-invalid zero window rather than crash or alias memory
+    (NOTES-flagged: numpy clamping was load-bearing here)."""
+    from hover_net_tpu.infer.wsi import WSIInferManager
+
+    shape = (100, 120)
+    pred = np.zeros(shape + (3,), np.float32)
+    mgr = WSIInferManager.__new__(WSIInferManager)
+    mgr.nr_types = None
+    mgr.wsi_proc_shape = np.array(shape)
+    path = str(tmp_path / "pred_map.npy")
+    np.save(path, pred)
+    pm = np.load(path, mmap_mode="r")
+
+    # box entirely beyond the bottom-right corner
+    tl = np.array([160, 200])
+    br = np.array([224, 264])
+    window, valid, (y0, y1, x0, x1) = mgr._read_window(pm, tl, br)
+    assert not valid.any()
+    assert (y1 - y0) * (x1 - x0) == 0  # downstream slices are empty
+    assert (window == 0).all()
+
+    # box partially overrunning: valid must cover only in-slide pixels
+    tl = np.array([64, 96])
+    br = np.array([128, 160])
+    window, valid, (y0, y1, x0, x1) = mgr._read_window(pm, tl, br)
+    assert valid.sum() == (100 - 64) * (120 - 96)

@@ -49,7 +49,7 @@ def test_extract_instance_info_types_and_contours():
     rng = np.random.default_rng(1)
     lab = remap_label(random_labels(rng))
     tmap = np.where(lab > 0, ((lab - 1) % 3) + 1, 0).astype(np.int32)
-    info = extract_instance_info(lab, tmap)
+    lab, info = extract_instance_info(lab, tmap)
     assert set(info.keys()) <= set(range(1, lab.max() + 1))
     for inst_id, inst in info.items():
         m = lab == inst_id
@@ -81,3 +81,34 @@ def test_fallback_matches_native(monkeypatch):
     fallback = it.instance_table(lab, tmap, n_types=6)
     for a, b in zip(native, fallback):
         np.testing.assert_allclose(a, b)
+
+
+def test_map_and_info_never_desynchronize():
+    """Property: every nonzero id in the returned map has a dict entry,
+    ids are contiguous, even for adversarial 1-2 px artifact instances
+    whose contours degenerate below 3 points."""
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        lab = np.zeros((64, 64), np.int32)
+        nid = 1
+        for _ in range(8):  # normal blobs
+            cy, cx = rng.integers(5, 59, 2)
+            r = int(rng.integers(2, 5))
+            yy, xx = np.mgrid[:64, :64]
+            lab[((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r] = nid
+            nid += 1
+        for _ in range(4):  # 1-2 px artifacts
+            y, x = rng.integers(0, 64, 2)
+            lab[y, x] = nid
+            nid += 1
+        lab = remap_label(lab)
+        tmap = np.where(lab > 0, 1, 0).astype(np.int32)
+        before = lab.copy()
+        synced, info = extract_instance_info(lab, tmap)
+        np.testing.assert_array_equal(lab, before)  # input not mutated
+        map_ids = set(np.unique(synced)) - {0}
+        assert map_ids == set(info.keys())
+        if map_ids:
+            assert max(map_ids) == len(map_ids)  # contiguous
+        # surviving pixels unchanged geometrically
+        assert ((synced > 0) <= (before > 0)).all()

@@ -107,3 +107,50 @@ def test_tile_pipeline_contract(tiny_checkpoint, tmp_path):
         # inst ids contiguous 1..n
         ids = np.unique(mat["inst_map"])
         assert ids.max() == n and len(ids) == n + 1 if n else ids.max() == 0
+
+
+def test_canonical_grid_one_program_for_mixed_sizes(tiny_checkpoint, tmp_path):
+    """A directory of heterogeneous image sizes (same canonical grid
+    class) must compile exactly one pipeline, and instance maps must
+    match the exact-shape (static src_hw) pipeline."""
+    import jax.numpy as jnp
+
+    from hover_net_tpu.data.tiling import bucket_grid_dim, prepare_tile_patching
+    from hover_net_tpu.infer.steps import make_tile_pipeline
+    from hover_net_tpu.infer.tile import TileInferManager
+    from hover_net_tpu.metrics import get_fast_aji, remap_label
+
+    assert [bucket_grid_dim(n) for n in (1, 7, 8, 9, 13, 17, 33)] == \
+        [1, 7, 8, 10, 14, 20, 40]
+
+    rng = np.random.default_rng(4)
+    mgr = TileInferManager(
+        model_path=tiny_checkpoint, mode="fast", nr_types=5, width=8,
+        batch_size=4, dtype=jnp.float32,
+    )
+    sizes = [(180, 200), (200, 220), (170, 230), (214, 190)]
+    outs = []
+    for shape in sizes:
+        img = synth_image(rng, shape)
+        outs.append((img, mgr.finalize_prediction(
+            img, mgr.predict_image_async(img))))
+    # all four sizes share one canonical grid class -> one program
+    assert len(mgr._pipelines) == 1
+
+    # parity vs the exact-shape pipeline on the same inputs
+    win, step = mgr.patch_input_shape, mgr.patch_output_shape
+    for img, (pred_map, inst_map, info) in outs:
+        src = img.shape[:2]
+        pads, coords, grid = prepare_tile_patching(src, win, step)
+        padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
+                        mode="reflect")
+        run = make_tile_pipeline(mgr.model, grid, src, batch=4)
+        f2, i2, _ = run(mgr.variables, jnp.asarray(padded),
+                        jnp.asarray(coords, jnp.int32))
+        np.testing.assert_allclose(pred_map, np.asarray(f2), atol=1e-5)
+        a = remap_label(inst_map)
+        b = remap_label(np.asarray(i2))
+        if b.max() and a.max():
+            assert get_fast_aji(b, a) > 0.98
+        else:
+            assert a.max() == b.max() == 0
