@@ -43,8 +43,12 @@ from . import filters
 from .cc_np import ellipse_structuring_element
 from .post_proc_device import HOP_BITS, HOP_MASK, INT_MAX
 
-CORE = 320
-HALO = 96
+# core/halo both 128-aligned: Mosaic requires the output block's last
+# two dims divisible by (8, 128); halo 128 also widens the exactness
+# bound (components with extent <= halo label identically to the
+# whole-map solve)
+CORE = 256
+HALO = 128
 WIN = CORE + 2 * HALO  # 512
 
 

@@ -174,3 +174,57 @@ def test_device_pipeline_batched_consistency():
     for i, t in enumerate(tiles):
         out_1 = np.asarray(proc_np_hv_batch(jnp.asarray(t[None])))[0]
         np.testing.assert_array_equal(out_b[i], out_1)
+
+
+def test_typed_pipeline_parity_host_vs_device():
+    """Typed (tp-channel) end-to-end parity: the host process() and the
+    device path (proc_np_hv_batch + instance-info extraction) must agree
+    on instances AND per-instance majority-vote types."""
+    from hover_net_tpu.ops.post_proc_host import (
+        extract_instance_info, process as host_process,
+    )
+
+    rng = np.random.default_rng(11)
+    inst = synth_tile(rng)
+    seg = make_pred_map(inst)
+    tp_map = np.where(inst > 0, (inst % 4) + 1, 0).astype(np.float32)
+    pred = np.dstack([tp_map, seg])  # [tp, np, hvx, hvy]
+
+    inst_host, info_host = host_process(pred, nr_types=5,
+                                        return_centroids=True)
+
+    dev = remap_label(
+        np.asarray(proc_np_hv_batch(jnp.asarray(seg[None])))[0]
+    )
+    inst_dev, info_dev = extract_instance_info(
+        dev, pred[..., 0].astype(np.int32)
+    )
+
+    assert inst_host.max() == inst_dev.max()
+    if inst_host.max():
+        assert get_fast_aji(remap_label(inst_host),
+                            remap_label(inst_dev)) > 0.95
+    # matched instances (by centroid proximity) carry identical types
+    cen_h = {k: v["centroid"] for k, v in info_host.items()}
+    for k, v in info_dev.items():
+        best = min(cen_h, key=lambda j: np.sum(
+            (cen_h[j] - v["centroid"]) ** 2))
+        if np.sum((cen_h[best] - v["centroid"]) ** 2) < 9:
+            assert info_host[best]["type"] == v["type"]
+
+
+def test_original_mode_typed_host_process_contract():
+    """process() in original-mode shape (80x80 outputs) with types: ids
+    contiguous, every map id in the dict, types populated."""
+    from hover_net_tpu.ops.post_proc_host import process as host_process
+
+    rng = np.random.default_rng(13)
+    inst = synth_tile(rng, shape=(80, 80), n=12)
+    seg = make_pred_map(inst)
+    tp_map = np.where(inst > 0, (inst % 3) + 1, 0).astype(np.float32)
+    pred = np.dstack([tp_map, seg])
+    inst_map, info = host_process(pred, nr_types=4, return_centroids=True)
+    ids = set(np.unique(inst_map)) - {0}
+    assert ids == set(info.keys())
+    for v in info.values():
+        assert v["type"] is not None and v["type_prob"] is not None
