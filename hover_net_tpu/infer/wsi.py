@@ -208,25 +208,42 @@ class WSIInferManager(base.InferManagerBase):
         wt = threading.Thread(target=writer, daemon=True)
         wt.start()
 
-        diff = self.cfg.patch_input_shape - self.cfg.patch_output_shape
-        for idx in range(chunk_info.shape[0]):
+        def read_chunk(idx):
+            """Host side of one chunk: mask-select patches + slide read.
+            Runs on a prefetch thread so chunk k+1's read overlaps chunk
+            k's device dispatches (and the writer's pulls)."""
             cinfo = chunk_info[idx]
             sub = select_patches_in_chunk(
                 patch_info, cinfo, (self.cfg.patch_input_shape,) * 2
             )
             sub = self._select_masked_patches(sub)
             if sub.shape[0] == 0:
-                continue
+                return None
             tl = cinfo[0, 0]
             read_size = (cinfo[0, 1] - cinfo[0, 0])[::-1]  # (w, h)
             chunk_img = self.wsi_handler.read_region(tl[::-1], read_size)
-
             rel_in_tl = (sub[:, 0, 0] - tl).astype(np.int32)
-            out_coords = sub[:, 1, 0]  # absolute output top-lefts
-            outputs = self._run_chunk(chunk_img, rel_in_tl)
-            write_q.put((tl, outputs, out_coords))
-            logger.info("chunk %d/%d: %d patches", idx + 1,
-                        chunk_info.shape[0], sub.shape[0])
+            return tl, chunk_img, rel_in_tl, sub[:, 1, 0]
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_chunks = chunk_info.shape[0]
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = deque(
+                ex.submit(read_chunk, i) for i in range(min(2, n_chunks))
+            )
+            for idx in range(n_chunks):
+                item = futs.popleft().result()
+                if idx + 2 < n_chunks:
+                    futs.append(ex.submit(read_chunk, idx + 2))
+                if item is None:
+                    continue
+                tl, chunk_img, rel_in_tl, out_coords = item
+                outputs = self._run_chunk(chunk_img, rel_in_tl)
+                write_q.put((tl, outputs, out_coords))
+                logger.info("chunk %d/%d: %d patches", idx + 1,
+                            n_chunks, rel_in_tl.shape[0])
         write_q.put(None)
         wt.join()
 
