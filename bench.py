@@ -1,12 +1,21 @@
 """Benchmark: 1kx1k tile instance-segmentation throughput per chip.
 
-Per-tile cost = device patch gather + HoVerNet forward (fast mode,
+Headline metric (proxy, stable across rounds):
+per-tile cost = device patch gather + HoVerNet forward (fast mode,
 reference width, bfloat16) + on-device stitch   [timed on real input]
              + on-device watershed post-processing + int32 instance map
                back to host                       [timed on a realistic
                synthetic prediction stack — post-proc cost depends on
                *content*, and an untrained network on noise produces
                pathological masks no real workload resembles]
+
+Honest end-to-end metric (`e2e_real_content`): the ACTUAL production
+pipeline (TileInferManager's fused dynamic-grid executable + host
+instance finalization) on a nuclei-painted image, post-processing the
+forward's OWN output. Weights come from a width-64 checkpoint trained
+on synthetic nuclei on first run and cached under ~/.cache (training
+adds a few minutes once per machine); `e2e_n_instances` is reported so
+the post-proc load is auditable.
 
 Prints ONE json line. `vs_baseline` is measured against the north-star
 rate implied by BASELINE.md (40x ~100k x 80k WSI in < 5 min on v5e-8
@@ -15,12 +24,119 @@ reference publishes no throughput numbers (BASELINE.json published: {}).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
 NORTH_STAR_TILES_PER_SEC = 8.0e9 / 300.0 / 8.0 / 1.0e6  # ~3.33
+_CACHE = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "hover_net_tpu",
+)
+_E2E_CKPT = os.path.join(_CACHE, "bench_w64_synth_v1.msgpack")
+
+
+def synth_nuclei_image(h, w, seed=1, n_nuclei=1200):
+    """H&E-ish synthetic tile: dark-purple disks on a light background."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), 225, np.float32)
+    img += rng.normal(0, 4, img.shape)
+    inst = np.zeros((h, w), np.int32)
+    yy, xx = np.mgrid[-12:13, -12:13]
+    k = 1
+    for _ in range(n_nuclei):
+        cy, cx = int(rng.integers(14, h - 14)), int(rng.integers(14, w - 14))
+        r = int(rng.integers(5, 11))
+        m = (yy**2 + xx**2) <= r * r
+        sub = inst[cy - 12: cy + 13, cx - 12: cx + 13]
+        sub[m & (sub == 0)] = k
+        k += 1
+        col = np.array([120, 70, 150]) + rng.normal(0, 10, 3)
+        img[cy - 12: cy + 13, cx - 12: cx + 13][m] = col
+    return np.clip(img, 0, 255).astype(np.uint8), inst
+
+
+def _train_e2e_checkpoint(steps=400, batch=8, seed=0):
+    """Train a width-64 fast-mode model on synthetic nuclei; cache it."""
+    import jax
+    import jax.numpy as jnp
+
+    from hover_net_tpu.models import HoVerNet, HoVerNetConfig
+    from hover_net_tpu.models.checkpoints import save_checkpoint
+    from hover_net_tpu.ops.targets import gen_targets
+    from hover_net_tpu.parallel.train_parallel import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+    from hover_net_tpu.utils.crops import cropping_center
+
+    cfg = HoVerNetConfig(mode="fast", nr_types=None, width=64)
+    model = HoVerNet(cfg)
+    tx, _ = make_optimizer(lr=3e-4, step_epochs=10**6, steps_per_epoch=1)
+    state = init_train_state(model, tx, jax.random.PRNGKey(seed), batch=1)
+    step_fn = make_train_step(model, tx)
+
+    rng = np.random.default_rng(seed)
+
+    def make_batch():
+        imgs, nps, hvs = [], [], []
+        for _ in range(batch):
+            img, inst = synth_nuclei_image(
+                256, 256, seed=int(rng.integers(1 << 30)), n_nuclei=70)
+            t = gen_targets(inst, (164, 164))
+            imgs.append(img.astype(np.float32))
+            nps.append(t["np_map"].astype(np.int32))
+            hvs.append(t["hv_map"].astype(np.float32))
+        return {
+            "img": jnp.asarray(np.stack(imgs)),
+            "np_map": jnp.asarray(np.stack(nps)),
+            "hv_map": jnp.asarray(np.stack(hvs)),
+        }
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, (terms, _viz) = step_fn(state, make_batch())
+        if i % 100 == 0:
+            print(f"# e2e-ckpt train step {i}: "
+                  f"loss={float(terms['overall_loss']):.3f} "
+                  f"({time.perf_counter() - t0:.0f}s)")
+    os.makedirs(_CACHE, exist_ok=True)
+    save_checkpoint(_E2E_CKPT, {
+        "params": state.params, "batch_stats": state.batch_stats,
+    })
+
+
+def bench_e2e_real_content(size=1000, iters=8):
+    """Tiles/s of the true production path on the forward's own output."""
+    import jax.numpy as jnp
+
+    from hover_net_tpu.infer.tile import TileInferManager
+
+    if not os.path.exists(_E2E_CKPT):
+        print("# training e2e checkpoint (first run on this machine)...")
+        _train_e2e_checkpoint()
+
+    mgr = TileInferManager(
+        model_path=_E2E_CKPT, mode="fast", nr_types=None, width=64,
+        batch_size=32, dtype=jnp.bfloat16,
+    )
+    img, _ = synth_nuclei_image(size, size, seed=42)
+
+    # warmup/compile
+    _, _, info = mgr.finalize_prediction(img, mgr.predict_image_async(img))
+    n_inst = len(info)
+
+    t0 = time.perf_counter()
+    pending = []
+    for _ in range(iters):
+        pending.append(mgr.predict_image_async(img))
+        if len(pending) >= 2:
+            mgr.finalize_prediction(img, pending.pop(0))
+    while pending:
+        mgr.finalize_prediction(img, pending.pop(0))
+    dt = time.perf_counter() - t0
+    return iters / dt, n_inst
 
 
 def synth_pred_map(h, w, n_nuclei=1200, seed=0):
@@ -136,12 +252,23 @@ def main():
     dt = time.perf_counter() - t0
 
     tiles_per_sec = iters / dt
-    print(json.dumps({
+
+    try:
+        e2e_rate, e2e_n = bench_e2e_real_content()
+    except Exception as exc:  # never let the honest path sink the bench
+        print(f"# e2e_real_content failed: {exc!r}")
+        e2e_rate, e2e_n = None, None
+
+    out = {
         "metric": "1kx1k_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 4),
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_sec / NORTH_STAR_TILES_PER_SEC, 4),
-    }))
+    }
+    if e2e_rate is not None:
+        out["e2e_real_content"] = round(e2e_rate, 4)
+        out["e2e_n_instances"] = e2e_n
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -71,6 +71,11 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume the current phase from its last checkpoint")
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--pretrained", default=None,
+                   help="phase-0 ImageNet preact-ResNet50 weights "
+                        "(.npz TF- or torch-keyed, or .tar/.msgpack); "
+                        "overrides the config's value "
+                        "(reference run_train.py:196-203, opt.py:55)")
     args = p.parse_args(argv)
 
     if args.config:
@@ -79,6 +84,9 @@ def main(argv=None):
         from ..config import TrainConfig
 
         config = TrainConfig()
+
+    if args.pretrained:
+        config.phases[0].pretrained = args.pretrained
 
     if args.view:
         view_dataset(config, args.view)

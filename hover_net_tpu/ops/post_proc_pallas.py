@@ -82,24 +82,29 @@ def _hs_scan(elems, op, identity, axis: int, reverse: bool, n: int):
     return elems
 
 
+# NOTE: every mask/flag array that gets shifted or carried through a
+# while_loop is int32 0/1, not bool — Mosaic crashes on concatenated /
+# loop-carried i1 vectors (verified on hardware); compares feeding
+# jnp.where directly are fine.
+
 def _seg_min_scan(vals, mask, axis: int, reverse: bool, n: int):
-    """Min over the contiguous run of mask ending at each position (in
-    scan direction)."""
-    flags = ~mask
+    """Min over the contiguous run of mask (int32 0/1) ending at each
+    position (in scan direction)."""
+    flags = 1 - mask
 
     def op(a, b):
         fa, va = a
         fb, vb = b
-        return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
+        return fa | fb, jnp.where(fb > 0, vb, jnp.minimum(va, vb))
 
-    _, v = _hs_scan((flags, vals), op, (True, INT_MAX), axis, reverse, n)
-    return jnp.where(mask, v, vals)
+    _, v = _hs_scan((flags, vals), op, (1, INT_MAX), axis, reverse, n)
+    return jnp.where(mask > 0, v, vals)
 
 
 def _ccl_fixpoint(mask, idx, n: int):
     """4-connected component labels = min global index, via alternating
-    segmented scans to fixpoint."""
-    lab0 = jnp.where(mask, idx, INT_MAX)
+    segmented scans to fixpoint. mask: int32 0/1."""
+    lab0 = jnp.where(mask > 0, idx, INT_MAX)
 
     def body(state):
         lab, _ = state
@@ -110,14 +115,13 @@ def _ccl_fixpoint(mask, idx, n: int):
         return new, jnp.any(new != lab)
 
     lab, _ = jax.lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
-    return jnp.where(mask, lab, 0)
+    return jnp.where(mask > 0, lab, 0)
 
 
 def _remove_small(lab, min_size: int):
     """Exact small-component removal: same-label count over the Manhattan
     diamond of radius min_size-1."""
     r = min_size - 1
-    fg = lab > 0
     cnt = jnp.zeros(lab.shape, jnp.int32)
     for dy in range(-r, r + 1):
         row = _shift(lab, dy, 0, 0)
@@ -131,28 +135,31 @@ def _remove_small(lab, min_size: int):
             right = _shift(right, -1, 1, 0)
             cnt = cnt + (left == lab).astype(jnp.int32)
             cnt = cnt + (right == lab).astype(jnp.int32)
-    keep = fg & (cnt >= min_size)
+    keep = (lab > 0) & (cnt >= min_size)
     return jnp.where(keep, lab, 0)
 
 
 def _fill_holes(mask, n: int):
-    """Fill bg regions not connected to the window border (4-conn)."""
-    bg = ~mask
+    """Fill bg regions not connected to the window border (4-conn).
+    mask: int32 0/1; returns int32 0/1."""
+    bg = 1 - mask
     h, w = mask.shape
-    border = jnp.zeros((h, w), bool).at[0, :].set(True).at[-1, :].set(True)
-    border = border.at[:, 0].set(True).at[:, -1].set(True)
-    out0 = bg & border
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = ((ri == 0) | (ri == h - 1) | (ci == 0)
+              | (ci == w - 1)).astype(jnp.int32)
+    out0 = bg * border
 
     def seg_or(out, axis, reverse):
-        flags = ~bg
+        flags = mask
 
         def op(a, b):
             fa, oa = a
             fb, ob = b
-            return fa | fb, jnp.where(fb, ob, oa | ob)
+            return fa | fb, jnp.where(fb > 0, ob, oa | ob)
 
-        _, o = _hs_scan((flags, out), op, (True, False), axis, reverse, n)
-        return jnp.where(bg, o, out)
+        _, o = _hs_scan((flags, out), op, (1, 0), axis, reverse, n)
+        return jnp.where(bg > 0, o, out)
 
     def body(state):
         out, _ = state
@@ -165,7 +172,7 @@ def _fill_holes(mask, n: int):
     outside, _ = jax.lax.while_loop(
         lambda s: s[1], body, (out0, jnp.bool_(True))
     )
-    return mask | (bg & ~outside)
+    return mask | (bg * (1 - outside))
 
 
 def _selem_count(mask, selem, fill: int):
@@ -185,62 +192,49 @@ def _selem_count(mask, selem, fill: int):
     return cnt
 
 
-def _ws_combine(a, b):
-    """Directional watershed relaxation combine (associative; identical
-    semantics to post_proc_device._ws_scan's operator)."""
-    fa, Ma, na, ca, ba = a
-    fb, Mb, nb, cb, bb = b
-    can = ~fb & (ca != INT_MAX)
-    lev_bits = jnp.maximum(ca & ~HOP_MASK, Mb)
-    hop_bits = (ca & HOP_MASK) + nb
-    cand = jnp.where(can, lev_bits | hop_bits, INT_MAX)
-    cl = jnp.where(can, ba, 0)
-    take = (cand < cb) | ((cand == cb) & can & (cl < bb))
-    return (fa | fb, jnp.maximum(Ma, Mb), na + nb,
-            jnp.where(take, cand, cb), jnp.where(take, cl, bb))
-
-
-_WS_IDENT = (False, 0, 0, INT_MAX, 0)
-
-
-def _ws_scan(cost, lab, energy_sh, mask, axis: int, reverse: bool, n: int):
-    barrier = ~mask
-    ok = (lab > 0) & ~barrier
-    elems = (
-        barrier,
-        energy_sh,
-        jnp.ones_like(energy_sh),
-        jnp.where(ok, cost, INT_MAX),
-        jnp.where(ok, lab, 0),
-    )
-    _, _, _, b_cost, b_lab = _hs_scan(
-        elems, _ws_combine, _WS_IDENT, axis, reverse, n
-    )
-    has = b_lab > 0
-    better = has & ((b_cost < cost) | ((b_cost == cost) & (b_lab < lab)))
-    return (jnp.where(better, b_cost, cost), jnp.where(better, b_lab, lab))
+def _ws_sweep(cost, lab, energy_sh, mask):
+    """One synchronous 4-neighbour relaxation step (VPU only; the
+    VMEM-resident formulation that is known to fit Mosaic's scoped-vmem
+    budget — HS scans of the 5-tuple watershed state blow it).
+    mask: int32 0/1."""
+    best_c, best_l = cost, lab
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        q_c = _shift(cost, dy, 0, INT_MAX) if dy else cost
+        q_c = _shift(q_c, dx, 1, INT_MAX) if dx else q_c
+        q_l = _shift(lab, dy, 0, 0) if dy else lab
+        q_l = _shift(q_l, dx, 1, 0) if dx else q_l
+        has = (q_l > 0) & (q_c != INT_MAX)
+        lev_bits = jnp.maximum(q_c & ~HOP_MASK, energy_sh)
+        hop_bits = (q_c & HOP_MASK) + 1
+        cand = jnp.where(has, lev_bits | hop_bits, INT_MAX)
+        take = (cand < best_c) | ((cand == best_c) & has & (q_l < best_l))
+        best_c = jnp.where(take, cand, best_c)
+        best_l = jnp.where(take, q_l, best_l)
+    inside = mask > 0
+    best_c = jnp.where(inside, best_c, cost)
+    best_l = jnp.where(inside, best_l, lab)
+    return best_c, best_l
 
 
 def _watershed(energy_q, markers, mask, n: int):
-    seeded = (markers > 0) & mask
+    """Relaxation to the minimax-path fixpoint. mask: int32 0/1.
+    Convergence is bounded by the largest blob's path length inside the
+    window — nuclei diameters in practice."""
+    seeded = (markers > 0) & (mask > 0)
     lab0 = jnp.where(seeded, markers, 0)
     energy_sh = energy_q << HOP_BITS
     cost0 = jnp.where(seeded, energy_sh, INT_MAX)
 
     def body(state):
         cost, lab, _ = state
-        nc, nb = cost, lab
-        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 1, False, n)
-        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 1, True, n)
-        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 0, False, n)
-        nc, nb = _ws_scan(nc, nb, energy_sh, mask, 0, True, n)
+        nc, nb = _ws_sweep(cost, lab, energy_sh, mask)
         changed = jnp.any(nb != lab) | jnp.any(nc != cost)
         return nc, nb, changed
 
     cost, lab, _ = jax.lax.while_loop(
         lambda s: s[2], body, (cost0, lab0, jnp.bool_(True))
     )
-    return jnp.where(mask, lab, 0)
+    return jnp.where(mask > 0, lab, 0)
 
 
 # ---------------------------------------------------------------- kernel
@@ -272,7 +266,7 @@ def _make_kernel(padded_w: int, img_h: int, img_w: int, num_levels: int,
             c1.wait()
             c2.wait()
 
-            blb_raw = blb_v[:] > 0
+            blb_raw = blb_v[:]  # int32 0/1
             sob = sob_v[:]
 
             # global (padded-map) linear index labels: consistent across
@@ -282,11 +276,11 @@ def _make_kernel(padded_w: int, img_h: int, img_w: int, num_levels: int,
             idx = gy * padded_w + gx + 1
             # the image occupies padded rows [halo, halo+img_h)
             in_img = ((gy >= halo) & (gy < halo + img_h)
-                      & (gx >= halo) & (gx < halo + img_w))
+                      & (gx >= halo) & (gx < halo + img_w)).astype(jnp.int32)
 
             blb_lab = _ccl_fixpoint(blb_raw, idx, win)
             blb_lab = _remove_small(blb_lab, blob_min_size)
-            blb = blb_lab > 0
+            blb = (blb_lab > 0).astype(jnp.int32)
             blb_f = blb.astype(jnp.float32)
 
             overall = jnp.maximum(sob - (1.0 - blb_f), 0.0)
@@ -310,12 +304,13 @@ def _make_kernel(padded_w: int, img_h: int, img_w: int, num_levels: int,
                 jnp.int32
             )
 
-            marker = blb & ~(overall >= 0.4)
+            marker = blb * (1 - (overall >= 0.4).astype(jnp.int32))
             marker = _fill_holes(marker, win)
             # cv2.erode border: outside-of-IMAGE counts as foreground
-            er = _selem_count(marker | ~in_img, selem, fill=1) >= selem_total
-            er = er & in_img
-            marker = (_selem_count(er, selem, fill=0) > 0) & in_img
+            er = (_selem_count(marker | (1 - in_img), selem, fill=1)
+                  >= selem_total).astype(jnp.int32) * in_img
+            marker = (_selem_count(er, selem, fill=0) > 0).astype(
+                jnp.int32) * in_img
             mk_lab = _ccl_fixpoint(marker, idx, win)
             mk_lab = _remove_small(mk_lab, marker_min_size)
 
@@ -376,6 +371,12 @@ def proc_tail_blocked(blb_raw, sob, num_levels: int = 256,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, nby * core, nbx * core),
                                        jnp.int32),
+        # the default scoped-vmem soft limit is 16M; v5e VMEM is far
+        # larger and this kernel's live set peaks around ~90M of
+        # 512^2 int32 temporaries
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(blb_p, sob_p)
     return out[:, :h, :w]
