@@ -127,14 +127,16 @@ def bench_e2e_real_content(size=1000, iters=8):
     _, _, info = mgr.finalize_prediction(img, mgr.predict_image_async(img))
     n_inst = len(info)
 
+    # pull_pred_map=False matches the default CLI run (the raw f32 map
+    # only crosses the link under --save_raw_map)
     t0 = time.perf_counter()
     pending = []
     for _ in range(iters):
         pending.append(mgr.predict_image_async(img))
         if len(pending) >= 2:
-            mgr.finalize_prediction(img, pending.pop(0))
+            mgr.finalize_prediction(img, pending.pop(0), pull_pred_map=False)
     while pending:
-        mgr.finalize_prediction(img, pending.pop(0))
+        mgr.finalize_prediction(img, pending.pop(0), pull_pred_map=False)
     dt = time.perf_counter() - t0
     return iters / dt, n_inst
 

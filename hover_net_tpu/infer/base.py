@@ -56,11 +56,18 @@ class InferManagerBase:
         self.type_info = load_type_info(type_info_path, nr_types)
 
     def _load_variables(self, model_path: str):
+        import jax
+
         if model_path.endswith((".tar", ".pth", ".pt")):
-            return ckpt.load_torch_tar(model_path, self.cfg)
-        variables, _ = ckpt.load_checkpoint(model_path)
-        self._validate_variables(variables, model_path)
-        return variables
+            variables = ckpt.load_torch_tar(model_path, self.cfg)
+        else:
+            variables, _ = ckpt.load_checkpoint(model_path)
+            self._validate_variables(variables, model_path)
+        # place on device ONCE: msgpack/torch loaders return host numpy
+        # leaves, and jit would otherwise re-upload every leaf on every
+        # dispatch (measured 2.7s vs 0.2s per 1k-tile through the
+        # remote-dispatch tunnel)
+        return jax.device_put(variables)
 
     def _validate_variables(self, variables, model_path):
         """Fail loudly on checkpoint/model structure mismatch (flax

@@ -134,14 +134,23 @@ class TileInferManager(base.InferManagerBase):
             cache[device] = jax.device_put(self.variables, device)
         return cache[device]
 
-    def finalize_prediction(self, img, dev_out):
-        """Pull device results, remap ids, extract instance info."""
+    def finalize_prediction(self, img, dev_out, pull_pred_map: bool = True):
+        """Pull device results, remap ids, extract instance info.
+
+        pull_pred_map=False skips the (12MB/tile) float32 prediction-map
+        transfer and returns the device array slice instead — callers
+        that do need it (--save_raw_map, the oracle path) np.asarray it
+        themselves; everything downstream of the default CLI only uses
+        inst_map/inst_info.
+        """
         src_h, src_w = img.shape[:2]
         full, inst_dev, tp_dev = dev_out
         inst_map = remap_label(np.asarray(inst_dev)[:src_h, :src_w])
         pred_type = np.asarray(tp_dev)[:src_h, :src_w] if self.nr_types else None
         inst_map, inst_info = extract_instance_info(inst_map, pred_type)
-        pred_map = np.asarray(full[:src_h, :src_w]).astype(np.float32)
+        pred_map = full[:src_h, :src_w]
+        if pull_pred_map:
+            pred_map = np.asarray(pred_map).astype(np.float32)
         return pred_map, inst_map.astype(np.int32), inst_info
 
     def predict_image(self, img: np.ndarray):
@@ -240,7 +249,7 @@ class TileInferManager(base.InferManagerBase):
                 name, img, dev_out, t0 = pending.pop(0)
                 try:
                     pred_map, inst_map, inst_info = self.finalize_prediction(
-                        img, dev_out
+                        img, dev_out, pull_pred_map=save_raw_map
                     )
                     self._save_outputs(name, img, pred_map, inst_map,
                                        inst_info, output_dir, draw_dot,
