@@ -169,15 +169,28 @@ class WSIInferManager(base.InferManagerBase):
         return self._fwd_fns["vars"]
 
     def _post_proc_fn(self):
-        """proc_np_hv_batch, window batch sharded over the mesh."""
+        """proc_np_hv_batch, window batch sharded over the mesh.
+
+        shard_map (not bare jit-with-shardings): on TPU the post-proc
+        tail is a Pallas custom call, which GSPMD cannot partition — each
+        device must run the whole kernel on its own batch shard."""
         if self._pp_fn is None:
             if self.mesh is None:
                 self._pp_fn = proc_np_hv_batch
             else:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
                 bsh = batch_sharding(self.mesh)
+                kw = {"mesh": self.mesh, "in_specs": (P("data"), P("data")),
+                      "out_specs": P("data")}
+                fn = lambda p, v: proc_np_hv_batch(p, v)  # noqa: E731
+                try:  # vma tracking rejects the scalar while_loop carries
+                    inner = shard_map(fn, check_vma=False, **kw)
+                except TypeError:  # older jax spells it check_rep
+                    inner = shard_map(fn, check_rep=False, **kw)
                 self._pp_fn = jax.jit(
-                    lambda p, v: proc_np_hv_batch(p, v),
-                    in_shardings=(bsh, bsh), out_shardings=bsh,
+                    inner, in_shardings=(bsh, bsh), out_shardings=bsh
                 )
         return self._pp_fn
 
