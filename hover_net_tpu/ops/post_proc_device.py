@@ -236,7 +236,13 @@ def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = 256,
             core = max(-(-max(h, w) // 128) * 128, 128)
             halo = 0
         else:
-            core, halo = 256, 128
+            import os
+
+            geom = os.environ.get("HNT_PP_GEOM")
+            if geom:
+                core, halo = (int(v) for v in geom.split(","))
+            else:
+                core, halo = 256, 128
         return proc_np_hv_blocked(
             pred, valid_mask, num_levels=num_levels,
             marker_min_size=marker_min_size, blob_min_size=blob_min_size,

@@ -278,6 +278,15 @@ def _make_kernel(padded_w: int, img_h: int, img_w: int, num_levels: int,
             in_img = ((gy >= halo) & (gy < halo + img_h)
                       & (gx >= halo) & (gx < halo + img_w)).astype(jnp.int32)
 
+            # NOTE: an empty-window early exit via lax.cond was measured
+            # SLOWER on hardware (dense 96 vs 79 ms, empty 112 vs 74 ms
+            # at 1148^2) — Mosaic pays for the branch rather than
+            # skipping work; the fixpoints already converge in one
+            # sweep on empty windows
+            lab = _solve(blb_raw, sob, idx, in_img, gy, gx)
+            out_ref[0] = lab[halo: halo + core, halo: halo + core]
+
+        def _solve(blb_raw, sob, idx, in_img, gy, gx):
             blb_lab = _ccl_fixpoint(blb_raw, idx, win)
             blb_lab = _remove_small(blb_lab, blob_min_size)
             blb = (blb_lab > 0).astype(jnp.int32)
@@ -314,8 +323,7 @@ def _make_kernel(padded_w: int, img_h: int, img_w: int, num_levels: int,
             mk_lab = _ccl_fixpoint(marker, idx, win)
             mk_lab = _remove_small(mk_lab, marker_min_size)
 
-            lab = _watershed(energy_q, mk_lab, blb, win)
-            out_ref[0] = lab[halo: halo + core, halo: halo + core]
+            return _watershed(energy_q, mk_lab, blb, win)
 
         pl.run_scoped(
             run,
