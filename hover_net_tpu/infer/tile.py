@@ -122,7 +122,17 @@ class TileInferManager(base.InferManagerBase):
             jnp.asarray([src_h, src_w], jnp.int32), device
         )
         variables = self._variables_on(device)
-        return run(variables, dev_img, dev_coords, dev_src)
+        out = run(variables, dev_img, dev_coords, dev_src)
+        # queue device->host copies now: the transfer runs as soon as
+        # the computation finishes, overlapping the next tile's
+        # dispatches instead of blocking inside finalize_prediction
+        _full, inst, tp = out
+        for arr in (inst,) + ((tp,) if tp is not None else ()):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # non-jax.Array backends
+                break
+        return out
 
     def _variables_on(self, device):
         if len(self.devices) == 1:

@@ -155,6 +155,10 @@ class WSIInferManager(base.InferManagerBase):
                 )
             out = fwd(self._mesh_variables(), dev_img,
                       jnp.asarray(sub, jnp.int32))
+            try:  # queue D2H now; the writer thread's pull finds it done
+                out.copy_to_host_async()
+            except AttributeError:
+                pass
             outs.append((out, n))
         return outs
 
@@ -400,6 +404,10 @@ class WSIInferManager(base.InferManagerBase):
                 inst_dev = self._post_proc_fn()(
                     jnp.asarray(np.stack(wins)), jnp.asarray(np.stack(valids))
                 )[:n]
+                try:  # overlap the D2H pull with later dispatches
+                    inst_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
                 pending.append((sub, inst_dev, geoms, tps))
                 while len(pending) > inflight:
                     finalize(pending.pop(0))

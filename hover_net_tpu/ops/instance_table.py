@@ -51,6 +51,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so_path)
         lib.instance_table.restype = None
         lib.apply_lut.restype = None
+        lib.trace_contours.restype = ctypes.c_int64
         _LIB = lib
         return lib
     except Exception:
@@ -122,6 +123,48 @@ def instance_table(labels: np.ndarray, type_map: Optional[np.ndarray] = None,
             axis=1,
         )  # (x, y)
     return bbox, centroid, size, hist
+
+
+def trace_contours(labels: np.ndarray, bbox: np.ndarray):
+    """Outer contour of every instance in ONE native pass (Moore border
+    following with CHAIN_APPROX_SIMPLE compression, bit-identical to
+    cv2.findContours output on connected instances — verified over
+    randomized blob sweeps; for a *disconnected* label, cv2's
+    `contours[0]` is its last-found fragment while this traces the
+    component holding the topmost-leftmost pixel — watershed instances
+    are connected, so the case cannot occur in the production pipeline).
+
+    labels: [H, W] int32 contiguous 1..N; bbox from instance_table.
+    Returns list of [K_i, 2] int32 (x, y) arrays, index i = label i+1,
+    or None when the native library is unavailable (callers fall back
+    to per-instance cv2).
+    """
+    lib = _build_lib()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    n = int(bbox.shape[0])
+    if n == 0:
+        return []
+    h, w = labels.shape
+    bbox = np.ascontiguousarray(bbox, np.int64)
+    cap = max(1024, int((bbox[:, 1] - bbox[:, 0]).sum()
+                        + (bbox[:, 3] - bbox[:, 2]).sum()) * 4)
+    offs = np.empty((n + 1,), np.int64)
+    while True:
+        pts = np.empty((cap, 2), np.int32)
+        r = lib.trace_contours(
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(h), ctypes.c_int64(w), ctypes.c_int32(n),
+            bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if r >= 0:
+            break
+        cap *= 4
+    return [pts[offs[i]:offs[i + 1]].copy() for i in range(n)]
 
 
 def apply_lut(labels: np.ndarray, lut: np.ndarray) -> np.ndarray:

@@ -92,19 +92,23 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
     orphan ids in the map, post_proc.py:140-143).
 
     Implementation: bbox/centroid/size/type-histograms come from one
-    O(area) native pass (ops/instance_table.py) instead of the
-    reference's per-instance full-map rescans; cv2 contour extraction
-    runs on the small bbox crops. Centroids are pixel-count means —
-    identical to cv2.moments m10/m00 on a binary mask.
+    O(area) native pass and contours from one native border-following
+    pass (ops/instance_table.py, bit-identical to cv2's SIMPLE chains on
+    connected instances) instead of the reference's per-instance
+    full-map rescans + per-instance cv2 calls; without a compiler the
+    per-instance cv2 loop on bbox crops is the fallback. Centroids are
+    pixel-count means — identical to cv2.moments m10/m00 on a binary
+    mask.
 
     Requires contiguous instance ids 1..N (remap first).
     """
-    from .instance_table import apply_lut, instance_table
+    from .instance_table import apply_lut, instance_table, trace_contours
 
     pred_inst = np.ascontiguousarray(pred_inst, np.int32)
     bbox_t, centroid_t, size_t, hist_t = instance_table(
         pred_inst, pred_type, n_types=n_types
     )
+    native_contours = trace_contours(pred_inst, bbox_t)
 
     inst_info = {}
     skipped = []
@@ -112,20 +116,27 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
         if size_t[idx] == 0:
             continue
         rmin, rmax, cmin, cmax = (int(v) for v in bbox_t[idx])
-        inst_mask = (pred_inst[rmin:rmax, cmin:cmax] == idx + 1).astype(np.uint8)
-        contours = cv2.findContours(
-            inst_mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
-        )
-        if not contours[0]:
-            skipped.append(idx + 1)
-            continue
-        contour = np.squeeze(contours[0][0].astype("int32"))
-        # < 3 points is not a contour (an artifact, post_proc.py:140-143)
-        if contour.ndim != 2 or contour.shape[0] < 3:
-            skipped.append(idx + 1)
-            continue
-        contour[:, 0] += cmin  # X
-        contour[:, 1] += rmin  # Y
+        if native_contours is not None:
+            contour = native_contours[idx]
+            if contour.shape[0] < 3:
+                skipped.append(idx + 1)
+                continue
+        else:
+            inst_mask = (pred_inst[rmin:rmax, cmin:cmax] == idx + 1).astype(
+                np.uint8)
+            contours = cv2.findContours(
+                inst_mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
+            )
+            if not contours[0]:
+                skipped.append(idx + 1)
+                continue
+            contour = np.squeeze(contours[0][0].astype("int32"))
+            # < 3 points is not a contour (artifact, post_proc.py:140-143)
+            if contour.ndim != 2 or contour.shape[0] < 3:
+                skipped.append(idx + 1)
+                continue
+            contour[:, 0] += cmin  # X
+            contour[:, 1] += rmin  # Y
         info = {
             "bbox": np.array([[rmin, cmin], [rmax, cmax]]),
             "centroid": centroid_t[idx].copy(),

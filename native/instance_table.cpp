@@ -73,4 +73,128 @@ void apply_lut(int32_t* labels, int64_t count, const int32_t* lut,
     }
 }
 
+// Outer-boundary tracing of every instance in one call, replacing the
+// per-instance Python loop of crop + cv2.findContours (the reference's
+// contour extraction, models/hovernet/post_proc.py:140-143). Border
+// following matches cv2's Suzuki-Abe outer border: start at each
+// instance's first raster-order pixel, walk the 8-neighbourhood
+// counterclockwise, and emit CHAIN_APPROX_SIMPLE-style compressed
+// points (segment endpoints only).
+//
+// labels:     [h, w] int32 contiguous 1..n_labels
+// bbox:       [n_labels, 4] (rmin, rmax_excl, cmin, cmax_excl) from
+//             instance_table (start-pixel search is confined to it)
+// out_points: [capacity, 2] int32 (x, y)
+// out_offsets:[n_labels + 1] int64; label i's points occupy
+//             out_points[out_offsets[i] : out_offsets[i+1]]
+// Returns total points written, or -1 if capacity was exceeded (caller
+// retries with a larger buffer; 8*area is always enough).
+int64_t trace_contours(const int32_t* labels, int64_t h, int64_t w,
+                       int32_t n_labels, const int64_t* bbox,
+                       int32_t* out_points, int64_t capacity,
+                       int64_t* out_offsets) {
+    // clockwise 8-neighbourhood starting east, consistent with
+    // OpenCV's deltas for border following
+    static const int dy[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+    static const int dx[8] = {1, 1, 0, -1, -1, -1, 0, 1};
+
+    int64_t total = 0;
+    out_offsets[0] = 0;
+    for (int32_t li = 0; li < n_labels; ++li) {
+        const int32_t lab = li + 1;
+        const int64_t rmin = bbox[li * 4 + 0], rmax = bbox[li * 4 + 1];
+        const int64_t cmin = bbox[li * 4 + 2], cmax = bbox[li * 4 + 3];
+        // first raster-order pixel = cv2's outer-border start
+        int64_t sy = -1, sx = -1;
+        for (int64_t y = rmin; y < rmax && sy < 0; ++y) {
+            const int32_t* row = labels + y * w;
+            for (int64_t x = cmin; x < cmax; ++x) {
+                if (row[x] == lab) { sy = y; sx = x; break; }
+            }
+        }
+        if (sy < 0) { out_offsets[li + 1] = total; continue; }
+
+        const int64_t run_start = total;
+        // emit with CHAIN_APPROX_SIMPLE compression: a point is kept
+        // when the incoming direction changes (plus first and last)
+        int prev_dir = -2;
+        int64_t py = -1, px = -1;  // last emitted
+        int64_t ly = -1, lx = -1;  // last visited (pending)
+        auto visit = [&](int64_t y, int64_t x, int dir) -> bool {
+            if (dir != prev_dir) {
+                // direction changed: the previous pending pixel is a
+                // segment endpoint
+                if (ly >= 0 && (ly != py || lx != px)) {
+                    if (total >= capacity) return false;
+                    out_points[total * 2 + 0] = (int32_t)lx;
+                    out_points[total * 2 + 1] = (int32_t)ly;
+                    ++total; py = ly; px = lx;
+                }
+                prev_dir = dir;
+            }
+            ly = y; lx = x;
+            return true;
+        };
+
+        // single-pixel check: any 8-neighbour with same label?
+        bool isolated = true;
+        for (int k = 0; k < 8 && isolated; ++k) {
+            int64_t ny = sy + dy[k], nx = sx + dx[k];
+            if (ny >= 0 && ny < h && nx >= 0 && nx < w &&
+                labels[ny * w + nx] == lab) isolated = false;
+        }
+        if (isolated) {
+            if (total >= capacity) return -1;
+            out_points[total * 2 + 0] = (int32_t)sx;
+            out_points[total * 2 + 1] = (int32_t)sy;
+            ++total;
+            out_offsets[li + 1] = total;
+            continue;
+        }
+
+        // Moore border following, counterclockwise like cv2's outer
+        // borders: from the start pixel, search the neighbourhood
+        // clockwise beginning just past the backtrack direction.
+        // Initial backtrack: west (the pixel left of start is outside
+        // the instance by construction).
+        int64_t cy = sy, cx = sx;
+        int back = 4;  // direction from current pixel towards backtrack
+        // emit start pixel
+        out_points[total * 2 + 0] = (int32_t)sx;
+        out_points[total * 2 + 1] = (int32_t)sy;
+        ++total; py = sy; px = sx; ly = sy; lx = sx; prev_dir = -2;
+        if (total > capacity) return -1;
+        int first_move = -1;  // direction of the first step
+        int64_t guard = 4 * (rmax - rmin + 2) * (cmax - cmin + 2) + 16;
+        while (guard-- > 0) {
+            int dir = -1;
+            for (int k = 1; k <= 8; ++k) {
+                int cand = (back + k) & 7;
+                int64_t ny = cy + dy[cand], nx = cx + dx[cand];
+                if (ny >= 0 && ny < h && nx >= 0 && nx < w &&
+                    labels[ny * w + nx] == lab) { dir = cand; break; }
+            }
+            if (dir < 0) break;  // unreachable: not isolated
+            // Jacob's stopping criterion: we are back at the start
+            // pixel and about to repeat the initial move
+            if (first_move >= 0 && cy == sy && cx == sx &&
+                dir == first_move) break;
+            if (first_move < 0) first_move = dir;
+            cy += dy[dir]; cx += dx[dir];
+            back = (dir + 4) & 7;
+            if (!visit(cy, cx, dir)) return -1;
+        }
+        // flush the pending pixel (closes the polygon's last segment)
+        if (ly >= 0 && (ly != py || lx != px) && !(ly == sy && lx == sx)) {
+            if (total >= capacity) return -1;
+            out_points[total * 2 + 0] = (int32_t)lx;
+            out_points[total * 2 + 1] = (int32_t)ly;
+            ++total;
+        }
+        (void)run_start;
+        out_offsets[li + 1] = total;
+    }
+    return total;
+}
+
 }  // extern "C"

@@ -62,6 +62,76 @@ def test_extract_instance_info_types_and_contours():
         assert np.all(lab[cont[:, 1], cont[:, 0]] == inst_id)
 
 
+def test_trace_contours_bit_exact_vs_cv2():
+    """Native border following == cv2.findContours CHAIN_APPROX_SIMPLE,
+    point for point (connected instances; order, start and compression
+    all match)."""
+    import cv2
+
+    from hover_net_tpu.ops.instance_table import trace_contours
+
+    rng = np.random.default_rng(11)
+    checked = 0
+    for _ in range(6):
+        lab = remap_label(random_labels(rng, shape=(120, 140), n=25))
+        bbox, _, size, _ = instance_table(lab)
+        native = trace_contours(lab, bbox)
+        assert native is not None
+        for idx in range(lab.max()):
+            if size[idx] == 0:
+                continue
+            rmin, rmax, cmin, cmax = (int(v) for v in bbox[idx])
+            m = (lab[rmin:rmax, cmin:cmax] == idx + 1).astype(np.uint8)
+            if cv2.connectedComponents(m)[0] > 2:
+                # disconnected label (overlap-split synthetic disk):
+                # cv2's contours[0] is its last-found fragment, ours the
+                # topmost one — watershed output is always connected,
+                # so the case cannot occur in the pipeline
+                continue
+            cs, _ = cv2.findContours(m, cv2.RETR_TREE,
+                                     cv2.CHAIN_APPROX_SIMPLE)
+            ref = np.squeeze(cs[0].astype(np.int32))
+            if ref.ndim == 1:
+                ref = ref[None]
+            ref = ref + np.array([cmin, rmin], np.int32)
+            np.testing.assert_array_equal(native[idx], ref)
+            checked += 1
+    assert checked > 50
+
+
+def test_extract_instance_info_native_vs_cv2_fallback(monkeypatch):
+    """The full inst_info dict is identical through the native contour
+    pass and the per-instance cv2 fallback."""
+    import hover_net_tpu.ops.instance_table as it
+
+    import cv2
+
+    rng = np.random.default_rng(12)
+    lab = remap_label(random_labels(rng, shape=(100, 100), n=15))
+    # drop overlap-split (disconnected) labels: cv2's contours[0] picks
+    # an arbitrary fragment there (see test above); watershed output is
+    # always connected
+    for i in range(1, lab.max() + 1):
+        m = (lab == i).astype(np.uint8)
+        if cv2.connectedComponents(m)[0] > 2:
+            lab[lab == i] = 0
+    lab = remap_label(lab)
+    tmap = np.where(lab > 0, (lab % 3) + 1, 0).astype(np.int32)
+
+    m_native, native = extract_instance_info(lab.copy(), tmap)
+    monkeypatch.setattr(it, "trace_contours", lambda *a, **k: None)
+    m_cv2, fallback = extract_instance_info(lab.copy(), tmap)
+
+    np.testing.assert_array_equal(m_native, m_cv2)
+    assert native.keys() == fallback.keys()
+    for k in native:
+        np.testing.assert_array_equal(native[k]["contour"],
+                                      fallback[k]["contour"])
+        np.testing.assert_allclose(native[k]["centroid"],
+                                   fallback[k]["centroid"])
+        assert native[k]["type"] == fallback[k]["type"]
+
+
 def test_apply_lut():
     lab = np.array([[0, 1, 2], [2, 3, 0]], np.int32)
     lut = np.array([0, 5, 0, 7], np.int32)
