@@ -66,6 +66,10 @@ def build_parser():
     wsi.add_argument("--tile_shape", type=int, default=2048)
     wsi.add_argument("--save_thumb", action="store_true")
     wsi.add_argument("--save_mask", action="store_true")
+    wsi.add_argument("--pred_map_f32", action="store_true",
+                     help="store the stitched prediction mmap in float32 "
+                          "(the reference's dtype) instead of the default "
+                          "float16 (half the disk/transfer volume)")
     return p
 
 
@@ -105,6 +109,7 @@ def main(argv=None):
                 chunk_shape=args.chunk_shape, tile_shape=args.tile_shape,
                 ambiguous_size=args.ambiguous_size, proc_mag=args.proc_mag,
                 cache_path=args.cache_path, n_devices=args.n_devices,
+                pred_map_dtype="float32" if args.pred_map_f32 else "float16",
                 **common,
             )
             mgr.process_wsi_list(

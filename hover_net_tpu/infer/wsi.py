@@ -83,13 +83,20 @@ class WSIInferManager(base.InferManagerBase):
 
     def __init__(self, *args, chunk_shape=10000, tile_shape=2048,
                  ambiguous_size=128, proc_mag=40, cache_path="cache",
-                 n_devices: int = 1, **kwargs):
+                 n_devices: int = 1, pred_map_dtype="float16", **kwargs):
         super().__init__(*args, **kwargs)
         self.chunk_shape = int(chunk_shape)
         self.tile_shape = int(tile_shape)
         self.ambiguous_size = int(ambiguous_size)
         self.proc_mag = proc_mag
         self.cache_path = cache_path
+        # float16 (default) halves the pred_map mmap (48 vs 96 GB on a
+        # 100k x 80k slide), the device->host pull and the disk traffic;
+        # probabilities and [-1,1] HV maps lose nothing that survives
+        # the 0.5/0.4 thresholds and Sobel-21 (stitching-parity tested).
+        # The reference mmaps float32 (infer/wsi.py:529) — pass
+        # pred_map_dtype="float32" to match it exactly.
+        self.pred_map_dtype = np.dtype(pred_map_dtype)
         self._fwd_fns = {}
         self._pp_shapes = {}
         # multi-chip: a 1-D mesh shards patch/window batches on the
@@ -115,9 +122,14 @@ class WSIInferManager(base.InferManagerBase):
             model = self.model
             win = self.cfg.patch_input_shape
 
+            out_dtype = jnp.float16 if self.pred_map_dtype == np.float16 \
+                else jnp.float32
+
             def run(variables, chunk_img, coords):
                 patches = extract_patches(chunk_img, coords, win)
-                return infer_output(model, variables, patches)
+                # cast on device: halves the D2H transfer for f16 maps
+                return infer_output(model, variables, patches).astype(
+                    out_dtype)
 
             if self.mesh is None:
                 self._fwd_fns["fwd"] = jax.jit(run)
@@ -453,7 +465,7 @@ class WSIInferManager(base.InferManagerBase):
         self._pred_map_path = f"{self.cache_path}/pred_map.npy"
         pred_map = np.lib.format.open_memmap(
             self._pred_map_path, mode="w+",
-            shape=proc_shape + (out_ch,), dtype=np.float32,
+            shape=proc_shape + (out_ch,), dtype=self.pred_map_dtype,
         )
         del pred_map
         self.wsi_inst_map = np.lib.format.open_memmap(
