@@ -70,6 +70,10 @@ def build_parser():
                      help="store the stitched prediction mmap in float32 "
                           "(the reference's dtype) instead of the default "
                           "float16 (half the disk/transfer volume)")
+    wsi.add_argument("--hbm_pred_budget_gb", type=float, default=4.0,
+                     help="keep the stitched prediction map resident in "
+                          "device HBM when it fits this budget (no mmap "
+                          "round trip); 0 forces the mmap path")
     return p
 
 
@@ -110,6 +114,7 @@ def main(argv=None):
                 ambiguous_size=args.ambiguous_size, proc_mag=args.proc_mag,
                 cache_path=args.cache_path, n_devices=args.n_devices,
                 pred_map_dtype="float32" if args.pred_map_f32 else "float16",
+                hbm_pred_budget=int(args.hbm_pred_budget_gb * 2**30),
                 **common,
             )
             mgr.process_wsi_list(

@@ -31,6 +31,7 @@ the Sobel window sees true tissue instead of a reflected border.
 
 from __future__ import annotations
 
+import functools
 import glob
 import logging
 import os
@@ -76,14 +77,18 @@ def _simple_tissue_mask(handler):
 class WSIInferManager(base.InferManagerBase):
     # class-level defaults so partially-constructed instances (tests
     # drive single methods via __new__) fall back to single-device
+    # and the mmap pred-map path
     mesh = None
     n_devices = 1
     _pp_fn = None
     _mask_integral = None
+    _pred_dev_mode = False
+    _pred_dev = None
 
     def __init__(self, *args, chunk_shape=10000, tile_shape=2048,
                  ambiguous_size=128, proc_mag=40, cache_path="cache",
-                 n_devices: int = 1, pred_map_dtype="float16", **kwargs):
+                 n_devices: int = 1, pred_map_dtype="float16",
+                 hbm_pred_budget: int = 4 << 30, **kwargs):
         super().__init__(*args, **kwargs)
         self.chunk_shape = int(chunk_shape)
         self.tile_shape = int(tile_shape)
@@ -97,6 +102,15 @@ class WSIInferManager(base.InferManagerBase):
         # The reference mmaps float32 (infer/wsi.py:529) — pass
         # pred_map_dtype="float32" to match it exactly.
         self.pred_map_dtype = np.dtype(pred_map_dtype)
+        # when the whole stitched prediction map fits this HBM budget
+        # (single-device runs), it stays RESIDENT ON DEVICE: chunk
+        # outputs scatter into it in HBM and post-proc windows slice it
+        # on device — no inference-phase D2H pull and no post-proc H2D
+        # push at all (the mmap round trip only remains for maps larger
+        # than HBM, e.g. the 48 GB 100k x 80k north-star slide)
+        self.hbm_pred_budget = int(hbm_pred_budget)
+        self._pred_dev = None
+        self._pred_dev_mode = False
         self._fwd_fns = {}
         self._pp_shapes = {}
         # multi-chip: a 1-D mesh shards patch/window batches on the
@@ -143,13 +157,16 @@ class WSIInferManager(base.InferManagerBase):
 
     # --------------------------------------------------------- pipeline
 
-    def _run_chunk(self, chunk_img: np.ndarray, patch_coords: np.ndarray):
+    def _run_chunk(self, chunk_img: np.ndarray, patch_coords: np.ndarray,
+                   out_coords: np.ndarray | None = None):
         """Dispatch forwards for all selected patches of one chunk.
 
         patch_coords: [K, 2] input top-lefts relative to the chunk.
-        Returns a list of (device_output, valid_count) — device handles
-        only; the writer thread pulls them, overlapping the transfer
-        with the next chunk's dispatches.
+        Default: returns a list of (device_output, valid_count) — device
+        handles only; the writer thread pulls them, overlapping the
+        transfer with the next chunk's dispatches. HBM-resident mode
+        (out_coords given): outputs scatter into the device pred buffer
+        instead — nothing crosses to the host.
         """
         fwd = self._forward_batch_fn()
         bs = self.batch_size * self.n_devices
@@ -157,6 +174,9 @@ class WSIInferManager(base.InferManagerBase):
             dev_img = jnp.asarray(chunk_img)
         else:
             dev_img = jax.device_put(chunk_img, replicated(self.mesh))
+        scatter = self._scatter_fn() if out_coords is not None else None
+        dustbin = (np.array(self._pred_dev.shape[:2], np.int32)
+                   if out_coords is not None else None)
         outs = []
         for i in range(0, len(patch_coords), bs):
             sub = patch_coords[i : i + bs]
@@ -167,6 +187,14 @@ class WSIInferManager(base.InferManagerBase):
                 )
             out = fwd(self._mesh_variables(), dev_img,
                       jnp.asarray(sub, jnp.int32))
+            if scatter is not None:
+                oc = out_coords[i : i + bs].astype(np.int32)
+                if n < bs:  # padded entries land in the dustbin slack
+                    pad = np.broadcast_to(dustbin, (bs - n, 2))
+                    oc = np.concatenate([oc, pad], axis=0)
+                self._pred_dev = scatter(self._pred_dev, out,
+                                         jnp.asarray(oc))
+                continue
             try:  # queue D2H now; the writer thread's pull finds it done
                 out.copy_to_host_async()
             except AttributeError:
@@ -210,12 +238,76 @@ class WSIInferManager(base.InferManagerBase):
                 )
         return self._pp_fn
 
+    def _scatter_fn(self):
+        """Jitted scatter of a patch-output batch into the HBM-resident
+        pred buffer (donated: updated in place). Padded batch entries
+        carry the dustbin coordinate (buffer rows beyond the slide,
+        never read by post-proc); dynamic_update_slice clamps them
+        there."""
+        if "scatter" not in self._fwd_fns:
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def scatter(buf, outs, coords):
+                def body(i, b):
+                    return jax.lax.dynamic_update_slice(
+                        b, outs[i].astype(b.dtype),
+                        (coords[i, 0], coords[i, 1], 0),
+                    )
+                return jax.lax.fori_loop(0, outs.shape[0], body, buf)
+
+            self._fwd_fns["scatter"] = scatter
+        return self._fwd_fns["scatter"]
+
+    def _pp_windows_fn(self, shape):
+        """Per-window-class jitted post-proc over DEVICE slices of the
+        resident pred buffer: vmapped dynamic_slice -> validity mask
+        from box scalars -> proc_np_hv_batch. Returns (inst int32,
+        tp uint8 | zeros)."""
+        key = ("ppdev", shape)
+        if key not in self._fwd_fns:
+            hc, wc = shape
+            typed = self.nr_types is not None
+
+            @jax.jit
+            def pp(buf, starts, boxes, img_hw):
+                def slice_one(s):
+                    return jax.lax.dynamic_slice(
+                        buf, (s[0], s[1], 0), (hc, wc, buf.shape[-1])
+                    )
+
+                wins = jax.vmap(slice_one)(starts).astype(jnp.float32)
+                ri = jax.lax.broadcasted_iota(jnp.int32, (1, hc, wc), 1)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (1, hc, wc), 2)
+                # zero the outside-slide region (the buffer's slack rows
+                # hold scatter dustbin garbage), matching the host
+                # staging path's zero fill exactly — minmax_norm context
+                # must agree between the two paths
+                s = starts[:, :, None, None]  # [B, 2, 1, 1]
+                inimg = ((ri + s[:, 0] < img_hw[0])
+                         & (ci + s[:, 1] < img_hw[1]))
+                wins = jnp.where(inimg[..., None], wins, 0.0)
+                seg = wins[..., 1:4] if typed else wins[..., 0:3]
+                b = boxes[:, :, None, None]  # [B, 4, 1, 1]
+                valid = ((ri >= b[:, 0]) & (ri < b[:, 1])
+                         & (ci >= b[:, 2]) & (ci < b[:, 3]))
+                inst = proc_np_hv_batch(seg, valid)
+                tp = (wins[..., 0].astype(jnp.uint8) if typed
+                      else jnp.zeros(wins.shape[:3], jnp.uint8))
+                return inst, tp
+
+            self._fwd_fns[key] = pp
+        return self._fwd_fns[key]
+
     def _get_raw_prediction(self, chunk_info, patch_info):
         """Chunk loop: read region -> device forward -> writer thread
-        assembles into the pred_map mmap (infer/wsi.py:329-383)."""
+        assembles into the pred_map mmap (infer/wsi.py:329-383); in
+        HBM-resident mode the outputs scatter straight into the device
+        buffer instead (no D2H)."""
         write_q: "queue.Queue" = queue.Queue(maxsize=4)
 
         def writer():
+            if self._pred_dev_mode:
+                return
             pred_map = np.load(self._pred_map_path, mmap_mode="r+")
             while True:
                 item = write_q.get()
@@ -269,12 +361,17 @@ class WSIInferManager(base.InferManagerBase):
                 if item is None:
                     continue
                 tl, chunk_img, rel_in_tl, out_coords = item
-                outputs = self._run_chunk(chunk_img, rel_in_tl)
-                write_q.put((tl, outputs, out_coords))
+                if self._pred_dev_mode:
+                    self._run_chunk(chunk_img, rel_in_tl, out_coords)
+                else:
+                    outputs = self._run_chunk(chunk_img, rel_in_tl)
+                    write_q.put((tl, outputs, out_coords))
                 logger.info("chunk %d/%d: %d patches", idx + 1,
                             n_chunks, rel_in_tl.shape[0])
         write_q.put(None)
         wt.join()
+        if self._pred_dev_mode:
+            jax.block_until_ready(self._pred_dev)
 
     def _boxes_touch_tissue(self, scaled_boxes):
         """Vectorized tissue-overlap test via a summed-area table of the
@@ -325,28 +422,49 @@ class WSIInferManager(base.InferManagerBase):
         wx = max(min(int(tl[1]), img_w - wc), 0)
         return (wy, wx), (hc, wc)
 
-    def _read_window(self, pred_map, tl, br):
-        """Read one canonical padded window + validity geometry."""
+    def _window_geom(self, tl, br):
+        """Canonical window anchor/shape + requested box clipped to the
+        in-slide part of the window (zero-padding can never be claimed
+        as valid output — boundary boxes may overrun, or miss, the
+        slide entirely)."""
         (wy, wx), (hc, wc) = self._canonical_window(tl, br)
         img_h, img_w = (int(v) for v in self.wsi_proc_shape)
         read_h, read_w = min(hc, img_h - wy), min(wc, img_w - wx)
-        window = np.zeros((hc, wc, pred_map.shape[-1]), np.float32)
-        window[:read_h, :read_w] = pred_map[wy : wy + read_h, wx : wx + read_w]
-        valid = np.zeros((hc, wc), bool)
-        # clip the requested box to the in-slide part of the window so
-        # zero-padding can never be claimed as valid output (boundary
-        # boxes may overrun — or miss — the slide entirely)
         y0 = min(max(int(tl[0]) - wy, 0), read_h)
         y1 = min(max(int(br[0]) - wy, 0), read_h)
         x0 = min(max(int(tl[1]) - wx, 0), read_w)
         x1 = min(max(int(br[1]) - wx, 0), read_w)
+        return (wy, wx), (hc, wc), (read_h, read_w), (y0, y1, x0, x1)
+
+    def _read_window(self, pred_map, tl, br):
+        """Read one canonical padded window + validity geometry."""
+        (wy, wx), (hc, wc), (read_h, read_w), geom = self._window_geom(tl, br)
+        # stage windows in the mmap's dtype (f16 by default): halves the
+        # host->device push; the post-proc kernel casts to f32 on device
+        window = np.zeros((hc, wc, pred_map.shape[-1]), pred_map.dtype)
+        window[:read_h, :read_w] = pred_map[wy : wy + read_h, wx : wx + read_w]
+        valid = np.zeros((hc, wc), bool)
+        y0, y1, x0, x1 = geom
         valid[y0:y1, x0:x1] = True
-        return window, valid, (y0, y1, x0, x1)
+        return window, valid, geom
 
     def _post_proc_box(self, tl, br):
         """Device post-proc of one box; returns (inst int32, type int32)
         with labels remapped contiguously. Single-box convenience path
         (tests); the dispatch loop below batches."""
+        if self._pred_dev_mode:
+            (wy, wx), (hc, wc), _, geom = self._window_geom(tl, br)
+            y0, y1, x0, x1 = geom
+            img_hw = jnp.asarray(
+                [int(v) for v in self.wsi_proc_shape], jnp.int32)
+            inst_dev, tp_dev = self._pp_windows_fn((hc, wc))(
+                self._pred_dev, jnp.asarray([(wy, wx)], jnp.int32),
+                jnp.asarray([geom], jnp.int32), img_hw,
+            )
+            inst = remap_label(np.asarray(inst_dev)[0, y0:y1, x0:x1])
+            tp = (np.asarray(tp_dev)[0, y0:y1, x0:x1].astype(np.int32)
+                  if self.nr_types is not None else None)
+            return inst, tp
         pred_map = np.load(self._pred_map_path, mmap_mode="r")
         window, valid, (y0, y1, x0, x1) = self._read_window(pred_map, tl, br)
         seg = window[..., 1:4] if self.nr_types is not None else window[..., 0:3]
@@ -369,7 +487,8 @@ class WSIInferManager(base.InferManagerBase):
         (infer/wsi.py:423); only the phase barriers are ordered.
         """
         start = time.perf_counter()
-        pred_map = np.load(self._pred_map_path, mmap_mode="r")
+        pred_map = (None if self._pred_dev_mode
+                    else np.load(self._pred_map_path, mmap_mode="r"))
 
         # group box indices by canonical window shape (keeps one
         # compiled program per shape class, batches within a class)
@@ -379,9 +498,21 @@ class WSIInferManager(base.InferManagerBase):
             _, shape = self._canonical_window(tl, br)
             groups.setdefault(shape, []).append(idx)
 
+        typed = self.nr_types is not None
+        img_hw = jnp.asarray(
+            [int(v) for v in self.wsi_proc_shape], jnp.int32)
+
         def finalize(item):
             idxs, inst_dev, geoms, tps = item
             inst_host = np.asarray(inst_dev)
+            if tps is not None and not isinstance(tps, list):
+                # device-mode: tp windows pulled as one uint8 stack
+                tp_host = np.asarray(tps)
+                tps = [
+                    tp_host[k, g[0]:g[1], g[2]:g[3]].astype(np.int32)
+                    if typed else None
+                    for k, g in enumerate(geoms)
+                ]
             for k, idx in enumerate(idxs):
                 y0, y1, x0, x1 = geoms[k]
                 inst = remap_label(inst_host[k, y0:y1, x0:x1])
@@ -393,29 +524,49 @@ class WSIInferManager(base.InferManagerBase):
         for shape, idxs in groups.items():
             for i in range(0, len(idxs), batch):
                 sub = idxs[i : i + batch]
-                wins, valids, geoms, tps = [], [], [], []
-                for idx in sub:
-                    tl, br = boxes[idx]
-                    window, valid, geom = self._read_window(pred_map, tl, br)
-                    wins.append(
-                        window[..., 1:4] if self.nr_types is not None
-                        else window[..., 0:3]
-                    )
-                    valids.append(valid)
-                    geoms.append(geom)
-                    y0, y1, x0, x1 = geom
-                    tps.append(
-                        window[..., 0].astype(np.int32)[y0:y1, x0:x1]
-                        if self.nr_types is not None else None
-                    )
                 n = len(sub)
-                if n < batch:
-                    pad = batch - n
-                    wins += [np.zeros_like(wins[0])] * pad
-                    valids += [np.zeros_like(valids[0])] * pad
-                inst_dev = self._post_proc_fn()(
-                    jnp.asarray(np.stack(wins)), jnp.asarray(np.stack(valids))
-                )[:n]
+                if self._pred_dev_mode:
+                    starts, rel_boxes, geoms = [], [], []
+                    for idx in sub:
+                        tl, br = boxes[idx]
+                        (wy, wx), _, _, geom = self._window_geom(tl, br)
+                        starts.append((wy, wx))
+                        rel_boxes.append(geom)
+                        geoms.append(geom)
+                    if n < batch:  # repeat the last window (sliced off)
+                        starts += [starts[-1]] * (batch - n)
+                        rel_boxes += [rel_boxes[-1]] * (batch - n)
+                    inst_dev, tp_dev = self._pp_windows_fn(shape)(
+                        self._pred_dev,
+                        jnp.asarray(starts, jnp.int32),
+                        jnp.asarray(rel_boxes, jnp.int32),
+                        img_hw,
+                    )
+                    inst_dev = inst_dev[:n]
+                    tps = tp_dev[:n] if typed else [None] * n
+                else:
+                    wins, valids, geoms, tps = [], [], [], []
+                    for idx in sub:
+                        tl, br = boxes[idx]
+                        window, valid, geom = self._read_window(
+                            pred_map, tl, br)
+                        wins.append(window[..., 1:4] if typed
+                                    else window[..., 0:3])
+                        valids.append(valid)
+                        geoms.append(geom)
+                        y0, y1, x0, x1 = geom
+                        tps.append(
+                            window[..., 0].astype(np.int32)[y0:y1, x0:x1]
+                            if typed else None
+                        )
+                    if n < batch:
+                        pad = batch - n
+                        wins += [np.zeros_like(wins[0])] * pad
+                        valids += [np.zeros_like(valids[0])] * pad
+                    inst_dev = self._post_proc_fn()(
+                        jnp.asarray(np.stack(wins)),
+                        jnp.asarray(np.stack(valids))
+                    )[:n]
                 try:  # overlap the D2H pull with later dispatches
                     inst_dev.copy_to_host_async()
                 except AttributeError:
@@ -462,12 +613,30 @@ class WSIInferManager(base.InferManagerBase):
 
         out_ch = 4 if self.nr_types is not None else 3
         proc_shape = tuple(int(v) for v in self.wsi_proc_shape)
-        self._pred_map_path = f"{self.cache_path}/pred_map.npy"
-        pred_map = np.lib.format.open_memmap(
-            self._pred_map_path, mode="w+",
-            shape=proc_shape + (out_ch,), dtype=self.pred_map_dtype,
-        )
-        del pred_map
+        pred_bytes = (proc_shape[0] * proc_shape[1] * out_ch
+                      * self.pred_map_dtype.itemsize)
+        self._pred_dev_mode = (self.mesh is None
+                               and pred_bytes <= self.hbm_pred_budget)
+        if self._pred_dev_mode:
+            # HBM-resident pred map: 256-aligned + one patch-output of
+            # slack per axis (covers every canonical window class, edge
+            # patch overruns, and the padded-batch scatter dustbin)
+            out_sz = self.cfg.patch_output_shape
+            bh = -(-(proc_shape[0] + out_sz) // 256) * 256
+            bw = -(-(proc_shape[1] + out_sz) // 256) * 256
+            dt = (jnp.float16 if self.pred_map_dtype == np.float16
+                  else jnp.float32)
+            self._pred_dev = jnp.zeros((bh, bw, out_ch), dt)
+            self._pred_map_path = None
+            logger.info("pred map resident in HBM (%.2f GB)",
+                        pred_bytes / 2**30)
+        else:
+            self._pred_map_path = f"{self.cache_path}/pred_map.npy"
+            pred_map = np.lib.format.open_memmap(
+                self._pred_map_path, mode="w+",
+                shape=proc_shape + (out_ch,), dtype=self.pred_map_dtype,
+            )
+            del pred_map
         self.wsi_inst_map = np.lib.format.open_memmap(
             f"{self.cache_path}/pred_inst.npy", mode="w+",
             shape=proc_shape, dtype=np.int32,
@@ -514,6 +683,7 @@ class WSIInferManager(base.InferManagerBase):
             json_path = f"{output_dir}/{wsi_name}.json"
         base.save_json(json_path, self.wsi_inst_info, mag=self.proc_mag)
         logger.info("save: %.2fs", time.perf_counter() - start)
+        self._pred_dev = None  # free HBM before the next slide
 
     # ---- phase callbacks (infer/wsi.py:569-677 bookkeeping)
 
@@ -599,4 +769,6 @@ class WSIInferManager(base.InferManagerBase):
                 logger.info("finish %s", name)
             except Exception:
                 logger.exception("crash on %s", name)
+            finally:
+                self._pred_dev = None  # free HBM even on failure
         shutil.rmtree(self.cache_path, ignore_errors=True)

@@ -97,6 +97,57 @@ def test_three_phase_stitching_no_duplicates(tmp_path):
     assert map_ids == set(mgr.wsi_inst_info.keys())
 
 
+def test_hbm_resident_postproc_matches_mmap(tmp_path):
+    """The HBM-resident pred-buffer path (device window slices +
+    on-device validity masks) produces the same instances as the
+    host-staged mmap path."""
+    from hover_net_tpu.infer.wsi import WSIInferManager
+
+    rng = np.random.default_rng(5)
+    shape = (700, 600)
+    inst_gt = _paint_nuclei(shape, rng, 100)
+    hv = gen_instance_hv_map(inst_gt, shape)
+    pred = np.dstack([(inst_gt > 0).astype(np.float32),
+                      hv[..., 0], hv[..., 1]]).astype(np.float16)
+
+    def run(dev_mode):
+        mgr = WSIInferManager.__new__(WSIInferManager)
+        mgr.nr_types = None
+        mgr.tile_shape = 256
+        mgr.ambiguous_size = 32
+        mgr.wsi_proc_shape = np.array(shape)
+        mgr.wsi_mask = np.ones((70, 60), np.uint8)
+        mgr.wsi_inst_info = {}
+        mgr.wsi_inst_map = np.zeros(shape, np.int32)
+        mgr._fwd_fns = {}
+        if dev_mode:
+            mgr._pred_dev_mode = True
+            bh = -(-(shape[0] + 164) // 256) * 256
+            bw = -(-(shape[1] + 164) // 256) * 256
+            buf = np.zeros((bh, bw, 3), np.float16)
+            buf[: shape[0], : shape[1]] = pred
+            # slack garbage must not leak into results
+            buf[shape[0]:, :] = 7.0
+            buf[:, shape[1]:] = 7.0
+            mgr._pred_dev = jnp.asarray(buf)
+        else:
+            mgr._pred_map_path = str(tmp_path / f"pred_{dev_mode}.npy")
+            np.save(mgr._pred_map_path, pred)
+        tg, tb, tc = wsi_tile_grids(np.array(shape),
+                                    np.array([256, 256]), 32)
+        mgr._dispatch_post_processing(tg, mgr._cb_normal_tile, "p1")
+        mgr._dispatch_post_processing(tb, mgr._cb_fixing_tile, "p2")
+        mgr._dispatch_post_processing(tc, mgr._cb_fixing_tile, "p3")
+        return remap_label(mgr.wsi_inst_map), mgr.wsi_inst_info
+
+    got_dev, info_dev = run(True)
+    got_mmap, info_mmap = run(False)
+    assert int(got_dev.max()) == int(got_mmap.max())
+    assert len(info_dev) == len(info_mmap)
+    aji = get_fast_aji(got_mmap, got_dev)
+    assert aji > 0.999, aji
+
+
 def test_wsi_full_pipeline_plumbing(tmp_path):
     """End-to-end on a pseudo-slide with a tiny random model: runs all
     stages and writes the json contract."""
