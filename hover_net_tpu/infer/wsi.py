@@ -275,6 +275,8 @@ class WSIInferManager(base.InferManagerBase):
                         buf, (s[0], s[1], 0), (hc, wc, buf.shape[-1])
                     )
 
+                # measured: vmapped dynamic_slice == unrolled slices
+                # (24 vs 25 ms for 4x2048^2 from an 8192^2 buffer)
                 wins = jax.vmap(slice_one)(starts).astype(jnp.float32)
                 ri = jax.lax.broadcasted_iota(jnp.int32, (1, hc, wc), 1)
                 ci = jax.lax.broadcasted_iota(jnp.int32, (1, hc, wc), 2)
