@@ -300,6 +300,46 @@ class WSIInferManager(base.InferManagerBase):
             self._fwd_fns[key] = pp
         return self._fwd_fns[key]
 
+    def _prewarm_post_proc(self):
+        """Compile + first-load every canonical post-proc window program
+        on zero inputs (no prediction data needed). Runs on a side
+        thread concurrent with the chunk-inference loop; jit dispatch is
+        thread-safe and the warm inputs are private, so there is no
+        interaction with the scatter chain's donated buffers."""
+        try:
+            tg, tb, tc = wsi_tile_grids(
+                self.wsi_proc_shape, np.array([self.tile_shape] * 2),
+                self.ambiguous_size,
+            )
+            shapes = dict()
+            for boxes in (tg, tb, tc):
+                for idx in range(boxes.shape[0]):
+                    tl, br = boxes[idx]
+                    _, shape = self._canonical_window(tl, br)
+                    shapes[shape] = True
+            batch = 4 * self.n_devices
+            img_hw = jnp.asarray(
+                [int(v) for v in self.wsi_proc_shape], jnp.int32)
+            for (hc, wc) in shapes:
+                if self._pred_dev_mode:
+                    buf = jnp.zeros(self._pred_dev.shape,
+                                    self._pred_dev.dtype)
+                    out = self._pp_windows_fn((hc, wc))(
+                        buf, jnp.zeros((batch, 2), jnp.int32),
+                        jnp.zeros((batch, 4), jnp.int32), img_hw,
+                    )
+                else:
+                    dt = (jnp.float16
+                          if self.pred_map_dtype == np.float16
+                          else jnp.float32)
+                    out = self._post_proc_fn()(
+                        jnp.zeros((batch, hc, wc, 3), dt),
+                        jnp.zeros((batch, hc, wc), bool),
+                    )
+                jax.block_until_ready(out)
+        except Exception:
+            logger.exception("post-proc prewarm failed (non-fatal)")
+
     def _get_raw_prediction(self, chunk_info, patch_info):
         """Chunk loop: read region -> device forward -> writer thread
         assembles into the pred_map mmap (infer/wsi.py:329-383); in
@@ -654,8 +694,15 @@ class WSIInferManager(base.InferManagerBase):
             np.array([self.cfg.patch_input_shape] * 2),
             np.array([self.cfg.patch_output_shape] * 2),
         )
+        # pre-build the post-proc window programs on a side thread while
+        # the chunk loop runs: the first program load of a process can
+        # cost minutes on remote-compile links, and every canonical
+        # window class is known before any prediction exists
+        warm = threading.Thread(target=self._prewarm_post_proc, daemon=True)
+        warm.start()
         self._get_raw_prediction(chunk_info, patch_info)
         logger.info("inference: %.2fs", time.perf_counter() - start)
+        warm.join()
 
         # ---- 3-phase post-processing
         start = time.perf_counter()
