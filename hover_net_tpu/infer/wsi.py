@@ -293,9 +293,31 @@ class WSIInferManager(base.InferManagerBase):
                 valid = ((ri >= b[:, 0]) & (ri < b[:, 1])
                          & (ci >= b[:, 2]) & (ci < b[:, 3]))
                 inst = proc_np_hv_batch(seg, valid)
+
+                # compact the global-index labels per window on device
+                # so the instance maps cross to the host as uint16
+                # (half the D2H volume; a 2048^2 window holds < 42k
+                # >=10px instances, far under 65k)
+                def compact(lab):
+                    flat = lab.ravel()
+                    order = jnp.argsort(flat)
+                    s = flat[order]
+                    ranks = jnp.cumsum(jnp.concatenate([
+                        jnp.zeros((1,), jnp.int32),
+                        (s[1:] != s[:-1]).astype(jnp.int32),
+                    ]))
+                    # background (0) is the minimum when present -> rank
+                    # 0; if a window had no bg pixel, shift ids up so no
+                    # instance aliases to 0
+                    ranks = ranks + jnp.where(s[0] > 0, 1, 0)
+                    out = jnp.zeros_like(flat).at[order].set(ranks)
+                    return out.reshape(lab.shape)
+
+                inst16 = jnp.clip(jax.vmap(compact)(inst), 0, 65535
+                                  ).astype(jnp.uint16)
                 tp = (wins[..., 0].astype(jnp.uint8) if typed
                       else jnp.zeros(wins.shape[:3], jnp.uint8))
-                return inst, tp
+                return inst16, tp
 
             self._fwd_fns[key] = pp
         return self._fwd_fns[key]
@@ -503,7 +525,8 @@ class WSIInferManager(base.InferManagerBase):
                 self._pred_dev, jnp.asarray([(wy, wx)], jnp.int32),
                 jnp.asarray([geom], jnp.int32), img_hw,
             )
-            inst = remap_label(np.asarray(inst_dev)[0, y0:y1, x0:x1])
+            inst = remap_label(
+                np.asarray(inst_dev)[0, y0:y1, x0:x1].astype(np.int32))
             tp = (np.asarray(tp_dev)[0, y0:y1, x0:x1].astype(np.int32)
                   if self.nr_types is not None else None)
             return inst, tp
@@ -546,7 +569,7 @@ class WSIInferManager(base.InferManagerBase):
 
         def finalize(item):
             idxs, inst_dev, geoms, tps = item
-            inst_host = np.asarray(inst_dev)
+            inst_host = np.asarray(inst_dev).astype(np.int32, copy=False)
             if tps is not None and not isinstance(tps, list):
                 # device-mode: tp windows pulled as one uint8 stack
                 tp_host = np.asarray(tps)
