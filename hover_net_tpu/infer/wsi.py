@@ -64,6 +64,29 @@ from .wsi_handler import get_file_handler
 logger = logging.getLogger("hover_net_tpu")
 
 
+def _compact_u16(inst):
+    """Per-window compaction of global-index labels to dense ids so
+    instance maps cross to the host as uint16 (half the D2H volume; a
+    2048^2 window holds < 42k >=10px instances, far under 65k).
+    inst: [B, H, W] int32 -> [B, H, W] uint16 (0 stays background)."""
+
+    def compact(lab):
+        flat = lab.ravel()
+        order = jnp.argsort(flat)
+        s = flat[order]
+        ranks = jnp.cumsum(jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            (s[1:] != s[:-1]).astype(jnp.int32),
+        ]))
+        # background (0) is the minimum when present -> rank 0; if a
+        # window had no bg pixel, shift ids up so no instance aliases 0
+        ranks = ranks + jnp.where(s[0] > 0, 1, 0)
+        out = jnp.zeros_like(flat).at[order].set(ranks)
+        return out.reshape(lab.shape)
+
+    return jnp.clip(jax.vmap(compact)(inst), 0, 65535).astype(jnp.uint16)
+
+
 def _simple_tissue_mask(handler):
     """Otsu at 1.25x + morphology (infer/wsi.py:489-499), skimage-free."""
     thumb = handler.get_full_img(read_mag=1.25)
@@ -219,8 +242,9 @@ class WSIInferManager(base.InferManagerBase):
         tail is a Pallas custom call, which GSPMD cannot partition — each
         device must run the whole kernel on its own batch shard."""
         if self._pp_fn is None:
+            fn = lambda p, v: _compact_u16(proc_np_hv_batch(p, v))  # noqa: E731
             if self.mesh is None:
-                self._pp_fn = proc_np_hv_batch
+                self._pp_fn = jax.jit(fn)
             else:
                 from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
@@ -228,7 +252,6 @@ class WSIInferManager(base.InferManagerBase):
                 bsh = batch_sharding(self.mesh)
                 kw = {"mesh": self.mesh, "in_specs": (P("data"), P("data")),
                       "out_specs": P("data")}
-                fn = lambda p, v: proc_np_hv_batch(p, v)  # noqa: E731
                 try:  # vma tracking rejects the scalar while_loop carries
                     inner = shard_map(fn, check_vma=False, **kw)
                 except TypeError:  # older jax spells it check_rep
@@ -292,32 +315,10 @@ class WSIInferManager(base.InferManagerBase):
                 b = boxes[:, :, None, None]  # [B, 4, 1, 1]
                 valid = ((ri >= b[:, 0]) & (ri < b[:, 1])
                          & (ci >= b[:, 2]) & (ci < b[:, 3]))
-                inst = proc_np_hv_batch(seg, valid)
-
-                # compact the global-index labels per window on device
-                # so the instance maps cross to the host as uint16
-                # (half the D2H volume; a 2048^2 window holds < 42k
-                # >=10px instances, far under 65k)
-                def compact(lab):
-                    flat = lab.ravel()
-                    order = jnp.argsort(flat)
-                    s = flat[order]
-                    ranks = jnp.cumsum(jnp.concatenate([
-                        jnp.zeros((1,), jnp.int32),
-                        (s[1:] != s[:-1]).astype(jnp.int32),
-                    ]))
-                    # background (0) is the minimum when present -> rank
-                    # 0; if a window had no bg pixel, shift ids up so no
-                    # instance aliases to 0
-                    ranks = ranks + jnp.where(s[0] > 0, 1, 0)
-                    out = jnp.zeros_like(flat).at[order].set(ranks)
-                    return out.reshape(lab.shape)
-
-                inst16 = jnp.clip(jax.vmap(compact)(inst), 0, 65535
-                                  ).astype(jnp.uint16)
+                inst = _compact_u16(proc_np_hv_batch(seg, valid))
                 tp = (wins[..., 0].astype(jnp.uint8) if typed
                       else jnp.zeros(wins.shape[:3], jnp.uint8))
-                return inst16, tp
+                return inst, tp
 
             self._fwd_fns[key] = pp
         return self._fwd_fns[key]
