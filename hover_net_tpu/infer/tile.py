@@ -126,12 +126,14 @@ class TileInferManager(base.InferManagerBase):
         # queue device->host copies now: the transfer runs as soon as
         # the computation finishes, overlapping the next tile's
         # dispatches instead of blocking inside finalize_prediction
-        _full, inst, tp = out
-        for arr in (inst,) + ((tp,) if tp is not None else ()):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:  # non-jax.Array backends
-                break
+        import os
+        if not os.environ.get("HNT_NO_ASYNC_COPY"):
+            _full, inst, tp = out
+            for arr in (inst,) + ((tp,) if tp is not None else ()):
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:  # non-jax.Array backends
+                    break
         return out
 
     def _variables_on(self, device):
