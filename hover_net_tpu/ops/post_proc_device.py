@@ -20,14 +20,21 @@ O(component diameter) full-array sweeps (measured 80x slower):
   nuclei blobs, still fast for the giant border-connected background.
 - **fill-holes**: CCL of the background + a per-sample scatter table of
   border-touching components.
-- **watershed**: parallel watershed by topographic distance. Each pixel
-  tracks the lexicographic cost (max energy along path, hop count,
-  label); a custom associative operator propagates these costs along
-  full rows/columns per scan, alternating directions until fixpoint.
-  The hop tie-break reproduces priority-flood's BFS plateau splitting;
-  the label tie-break makes results deterministic. Pixel-exactness vs
-  the sequential flood is not guaranteed on exact ties; instance-level
-  parity is validated against the host oracle in tests (AJI ~0.99).
+- **watershed**: parallel watershed by topographic distance, solved in
+  two phases. Phase 1 relaxes the lexicographic cost (max energy along
+  the path, hops since the last strict ascent) to its EXACT fixpoint —
+  the ascent-reset makes the cost isotone, so distributed relaxation
+  and a sequential Dijkstra agree, and hops-since-ascent reproduces
+  priority-flood's plateau splitting (geodesic distance from the
+  flood's entry into the plateau). Phase 2 resolves exact primary-cost
+  ties by minimising (total hops from the marker, marker label) along
+  cost-attaining edges to ITS fixpoint — a canonical, history-free tie
+  resolution identical across this scan path, the blocked Pallas
+  kernel, and a sequential solve. Differences
+  vs skimage's sequential flood are confined to equal-cost tie pixels
+  (instance-level AJI ~0.985 boundary wobble, no instance flips;
+  validated against the reference pipeline in
+  tests/test_ref_e2e_parity.py).
 
 Output labels are arbitrary unique positive ints per instance (pixel
 indices); callers remap to contiguous ids on host if required.
@@ -131,20 +138,47 @@ def fill_holes(mask):
 # ------------------------------------------------------------- watershed
 
 # packed watershed cost word: (minimax level << HOP_BITS) | hop count.
-# levels < 256 and hops <= H*W < 2^23 keep the word positive in int32,
-# and lexicographic (level, hops) order == integer order on the word.
-HOP_BITS = 23
+# 65536 levels (fine enough that quantisation plateaus shrink to float
+# noise — coarse plateaus put boundary placement at the mercy of tie
+# heuristics) x 15 hop bits keeps the word positive in int32, and
+# lexicographic (level, hops) order == integer order on the word. Hops
+# reset on every strict ascent, so they are bounded by plateau/descent
+# run lengths; crossings saturate at HOP_MASK as a degenerate-flats
+# guard (ties beyond 32767 hops instead of level corruption).
+HOP_BITS = 15
 HOP_MASK = (1 << HOP_BITS) - 1
+NUM_LEVELS = 1 << 16
+
+
+def cross_cost(q_c, energy_sh):
+    """Packed cost after crossing one pixel of shifted energy
+    `energy_sh` from a neighbour with packed cost `q_c`: a strict ascent
+    resets the hop count, otherwise hops+1 (saturating — INT_MAX passes
+    through unchanged since its hop bits are already all-ones)."""
+    lev = q_c & ~HOP_MASK
+    bump = ((q_c & HOP_MASK) != HOP_MASK).astype(jnp.int32)
+    return jnp.where(energy_sh > lev, energy_sh, q_c + bump)
 
 
 def _ws_scan(cost, lab, energy_sh, mask, axis: int, reverse: bool):
     """One directional relaxation scan of packed watershed costs.
 
-    Summary of a segment: (barrier, max shifted energy, length, best
-    exiting (cost, label)) where the best is the min over start points
-    inside the segment of their cost propagated to the trailing edge
-    (level part maxed with the crossed energies, hop part incremented
-    by the crossed length). Associative.
+    Crossing rule (per element with shifted energy E): an incoming cost
+    (L, d) becomes (E, 0) if E > L — the hop count RESETS on a strict
+    ascent — else (L, d + 1). The reset makes the lexicographic cost
+    isotone (the no-reset variant violates the optimal-substructure
+    property: a higher-level lower-hop prefix can win after an ascent,
+    so distributed relaxation converges to a different fixpoint than the
+    label-setting solve), and it reproduces priority-flood's plateau
+    splitting: hops-since-last-ascent IS the geodesic distance from the
+    flood's entry point into the current plateau.
+
+    Summary of a segment: (barrier, max shifted energy M, length n,
+    tail t = elements after the FIRST attainment of M — where the last
+    reset of any crossing with incoming level < M happens — and the best
+    exiting (cost, label), the min over seeded start points inside the
+    segment of their cost propagated to the trailing edge). Associative:
+    composing a|b takes t = t_b if M_b > M_a else t_a + n_b.
     """
     barrier = ~mask
     seeded = lab > 0
@@ -153,23 +187,34 @@ def _ws_scan(cost, lab, energy_sh, mask, axis: int, reverse: bool):
         barrier,
         energy_sh,
         jnp.ones_like(energy_sh),
+        jnp.zeros_like(energy_sh),
         jnp.where(ok, cost, INT_MAX),
         jnp.where(ok, lab, 0),
     )
 
     def op(a, b):
-        fa, Ma, na, ca, ba = a
-        fb, Mb, nb, cb, bb = b
+        fa, Ma, na, ta, ca, la = a
+        fb, Mb, nb, tb, cb, lb = b
         can = ~fb & (ca != INT_MAX)
-        lev_bits = jnp.maximum(ca & ~HOP_MASK, Mb)
-        hop_bits = (ca & HOP_MASK) + nb
-        cand = jnp.where(can, lev_bits | hop_bits, INT_MAX)
-        cl = jnp.where(can, ba, 0)
-        take = (cand < cb) | ((cand == cb) & can & (cl < bb))
-        return (fa | fb, jnp.maximum(Ma, Mb), na + nb,
-                jnp.where(take, cand, cb), jnp.where(take, cl, bb))
+        lev_a = ca & ~HOP_MASK
+        cand = jnp.where(
+            lev_a >= Mb,
+            lev_a | jnp.minimum((ca & HOP_MASK) + nb, HOP_MASK),
+            Mb | jnp.minimum(tb, HOP_MASK),
+        )
+        cand = jnp.where(can, cand, INT_MAX)
+        cl = jnp.where(can, la, 0)
+        take = (cand < cb) | ((cand == cb) & can & (cl < lb))
+        return (
+            fa | fb,
+            jnp.maximum(Ma, Mb),
+            na + nb,
+            jnp.where(Mb > Ma, tb, ta + nb),
+            jnp.where(take, cand, cb),
+            jnp.where(take, cl, lb),
+        )
 
-    _, _, _, b_cost, b_lab = jax.lax.associative_scan(
+    _, _, _, _, b_cost, b_lab = jax.lax.associative_scan(
         op, elems, axis=axis, reverse=reverse
     )
     has = b_lab > 0
@@ -178,7 +223,7 @@ def _ws_scan(cost, lab, energy_sh, mask, axis: int, reverse: bool):
             jnp.where(better, b_lab, lab))
 
 
-def watershed_flood(energy_q, markers, mask, num_levels: int = 256):
+def watershed_flood(energy_q, markers, mask, num_levels: int = NUM_LEVELS):
     """Marker-based watershed by minimax (topographic) path cost.
 
     Alternating directional relaxation scans until fixpoint; the hop
@@ -190,7 +235,7 @@ def watershed_flood(energy_q, markers, mask, num_levels: int = 256):
     markers:  [N,H,W] int32 labels (0 = unlabeled)
     mask:     [N,H,W] bool flood region
     """
-    assert num_levels <= 256
+    assert num_levels <= NUM_LEVELS
     seeded = (markers > 0) & mask
     lab0 = jnp.where(seeded, markers, 0).astype(jnp.int32)
     energy_sh = (energy_q << HOP_BITS).astype(jnp.int32)
@@ -210,11 +255,55 @@ def watershed_flood(energy_q, markers, mask, num_levels: int = 256):
     cost, lab, _ = jax.lax.while_loop(
         lambda s: s[2], body, (cost0, lab0, jnp.bool_(True))
     )
+
+    # Phase 2: tie resolution. The scan op is associative in the COST
+    # component but NOT in a label tie-break (a segment-composed offer
+    # can thread a label over intermediate pixels whose own optimal
+    # cost is lower than the carried prefix), so labels are assigned in
+    # a separate exact relaxation restricted to the optimal-edge DAG
+    # the fixed costs define. Among primary-cost-optimal paths we
+    # minimise (total hops from the marker, then marker label) — total
+    # hops is trivially isotone on the fixed DAG, so 4-neighbour
+    # relaxation converges to the unique least fixpoint: a canonical,
+    # history-free result shared by the Pallas sweep kernels and any
+    # sequential solve, and the closest cheap analog of
+    # priority-flood's arrival-order split on exact-tie plateaus
+    # (geodesic distance from the marker).
+    sec0 = jnp.where(seeded, 0, INT_MAX)
+
+    def relabel(state):
+        sec_c, lab_c, _ = state
+        new_s, new_l = sec_c, lab_c
+        for axis, sh in ((2, 1), (2, -1), (1, 1), (1, -1)):
+            c_n = _shift(cost, axis, sh, INT_MAX)
+            s_n = _shift(new_s, axis, sh, INT_MAX)
+            l_n = _shift(new_l, axis, sh, 0)
+            cand = cross_cost(c_n, energy_sh)
+            offer = ((c_n != INT_MAX) & (s_n != INT_MAX) & (l_n > 0)
+                     & mask & (cand == cost))
+            s_c = jnp.where(offer, s_n + 1, INT_MAX)
+            take = offer & ((s_c < new_s) | ((s_c == new_s) & (l_n < new_l)))
+            new_s = jnp.where(take, s_c, new_s)
+            new_l = jnp.where(take, l_n, new_l)
+        return new_s, new_l, jnp.any(new_l != lab_c) | jnp.any(new_s != sec_c)
+
+    _, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], relabel, (sec0, lab0, jnp.bool_(True))
+    )
     return jnp.where(mask, lab, 0)
 
 
+def _shift(arr, axis: int, amt: int, fill):
+    """Shift [N,H,W] content by `amt` along axis, filling vacated cells."""
+    rolled = jnp.roll(arr, amt, axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, axis)
+    n = arr.shape[axis]
+    valid = idx >= amt if amt > 0 else idx < n + amt
+    return jnp.where(valid, rolled, fill)
+
+
 @functools.partial(jax.jit, static_argnames=("num_levels", "marker_min_size", "blob_min_size"))
-def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = 256,
+def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = NUM_LEVELS,
                      marker_min_size: int = 10, blob_min_size: int = 10):
     """Batched __proc_np_hv (post_proc.py:26-90): [N,H,W,3] -> [N,H,W] int32.
 
@@ -280,13 +369,128 @@ def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = 256,
     marker_lab = connected_components(marker)
     marker_lab = remove_small(marker_lab, marker_min_size, num_bins)
 
-    # quantise energy: dist in [-1, 0] -> integer levels, preserving order
-    lo = jnp.min(dist, axis=(1, 2), keepdims=True)
-    hi = jnp.max(dist, axis=(1, 2), keepdims=True)
-    scale = jnp.where(hi > lo, (num_levels - 1) / (hi - lo), 0.0)
-    energy_q = jnp.round((dist - lo) * scale).astype(jnp.int32)
+    # quantise energy over the FIXED [-1, 0] range dist lies in by
+    # construction (overall, blb in [0,1]) — the same rule as the
+    # blocked Pallas kernel, so both device paths see identical
+    # plateaus and produce identical labels
+    energy_q = jnp.round((dist + 1.0) * (num_levels - 1)).astype(jnp.int32)
 
     return watershed_flood(energy_q, marker_lab, blb, num_levels)
+
+
+def compact_labels_u16(inst):
+    """Per-window compaction of positive labels to dense ids so
+    instance maps cross to the host as uint16 (quarter the D2H volume
+    of int32). Labels must be window-linear pixel indices in
+    [0, H*W] (what connected_components / the blocked kernel produce).
+
+    Rank = number of present labels <= own label, computed with a
+    presence scatter + prefix sum — a full-map argsort here costs
+    ~50ms/1M px on TPU, the cumsum formulation ~1ms.
+
+    inst: [B, H, W] int32 -> ([B, H, W] uint16 (0 stays background),
+    [B] int32 distinct-label count — callers warn if it ever exceeds
+    65535, where the clip would alias ids)."""
+    n, h, w = inst.shape
+
+    def compact(lab):
+        flat = lab.ravel()
+        present = jnp.zeros((h * w + 1,), jnp.int32).at[flat].max(1)
+        present = present.at[0].set(0)
+        ranks = jnp.cumsum(present)
+        return ranks[flat].reshape(lab.shape), ranks[-1]
+
+    out, n_labels = jax.vmap(compact)(inst)
+    return jnp.clip(out, 0, 65535).astype(jnp.uint16), n_labels
+
+
+# 8-neighbour direction table (E, NE, N, NW, W, SW, S, SE) — the bit
+# order the native COO contour tracer expects
+# (native/instance_table.cpp trace_contours_coo)
+_DIRS8 = ((0, 1), (-1, 1), (-1, 0), (-1, -1),
+          (0, -1), (1, -1), (1, 0), (1, 1))
+
+
+def _shift2d(x, dy: int, dx: int, fill):
+    """y[r, c] = x[r + dy, c + dx] (out-of-range -> fill)."""
+    h, w = x.shape
+    out = jnp.roll(x, (-dy, -dx), axis=(0, 1))
+    rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ok = ((rr + dy >= 0) & (rr + dy < h) & (cc + dx >= 0) & (cc + dx < w))
+    return jnp.where(ok, out, fill)
+
+
+def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
+                    stat_cap: int = 4096, nr_types=None):
+    """Fixed-capacity per-instance tables from a COMPACTED label map —
+    what the host pulls instead of the full instance map (~10-30x less
+    D2H): per-instance stats plus the boundary-pixel COO the native
+    Suzuki-Abe tracer walks (ops/instance_table.trace_contours_coo).
+
+    lab: [H, W] int32 with contiguous labels 0..n (n <= 65535, i.e.
+    compact_labels_u16 output); tp_map: [H, W] uint8/int type map.
+
+    Returns dict:
+      coo    [coo_cap, 2] int32 ((y<<16)|x, (label<<8)|mask8), sorted
+             by (label, y, x); slack rows ((2^31-1), 0)
+      coo_n  [] int32 true boundary-pixel count (host falls back to a
+             full-map pull when it exceeds coo_cap)
+      bbox   [stat_cap+1, 4] int32 (rmin, rmax_excl, cmin, cmax_excl)
+      sum_yx [stat_cap+1, 2] int32 (exact for instances < ~1e6 px;
+             a degenerate giant blob overflows — host falls back)
+      size   [stat_cap+1] int32
+      type_hist [stat_cap+1, nr_types] int32 (typed only)
+    Row index = label; labels > stat_cap land in the dustbin row
+    stat_cap (host falls back when n_labels > stat_cap).
+    """
+    lab = lab.astype(jnp.int32)
+    h, w = lab.shape
+    same = jnp.zeros((h, w), jnp.int32)
+    for k, (dy, dx) in enumerate(_DIRS8):
+        nb = _shift2d(lab, dy, dx, 0)
+        same = same | (((nb == lab) & (lab > 0)).astype(jnp.int32) << k)
+    boundary = (lab > 0) & (same != 0xFF)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    key = jnp.where(boundary, lab, INT_MAX).ravel()
+    # stable sort by label keeps raster order within each label —
+    # exactly the (label, y, x) order the native tracer requires
+    order = jnp.argsort(key, stable=True)[:coo_cap]
+    valid = key[order] != INT_MAX
+    pyx = ((yy << 16) | xx).ravel()[order]
+    plm = ((lab << 8) | same).ravel()[order]
+    coo = jnp.stack(
+        [jnp.where(valid, pyx, INT_MAX), jnp.where(valid, plm, 0)],
+        axis=-1,
+    )
+    coo_n = jnp.sum(boundary.astype(jnp.int32))
+
+    flat = jnp.minimum(lab.ravel(), stat_cap)
+    ys, xs = yy.ravel(), xx.ravel()
+    zeros = jnp.zeros((stat_cap + 1,), jnp.int32)
+    size = zeros.at[flat].add(1)
+    sum_y = zeros.at[flat].add(ys)
+    sum_x = zeros.at[flat].add(xs)
+    rmin = jnp.full((stat_cap + 1,), h, jnp.int32).at[flat].min(ys)
+    rmax = zeros.at[flat].max(ys + 1)
+    cmin = jnp.full((stat_cap + 1,), w, jnp.int32).at[flat].min(xs)
+    cmax = zeros.at[flat].max(xs + 1)
+
+    out = {
+        "coo": coo,
+        "coo_n": coo_n,
+        "bbox": jnp.stack([rmin, rmax, cmin, cmax], axis=-1),
+        "sum_yx": jnp.stack([sum_y, sum_x], axis=-1),
+        "size": size,
+    }
+    if nr_types:
+        th = jnp.zeros((stat_cap + 1, nr_types), jnp.int32)
+        out["type_hist"] = th.at[
+            flat, jnp.clip(tp_map.astype(jnp.int32).ravel(), 0, nr_types - 1)
+        ].add(1)
+    return out
 
 
 def _post_proc_mode(h: int, w: int) -> str:

@@ -41,7 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import filters
 from .cc_np import ellipse_structuring_element
-from .post_proc_device import HOP_BITS, HOP_MASK, INT_MAX
+from .post_proc_device import (
+    HOP_BITS, HOP_MASK, INT_MAX, NUM_LEVELS, cross_cost,
+)
 
 # core/halo both 128-aligned: Mosaic requires the output block's last
 # two dims divisible by (8, 128); halo 128 also widens the exactness
@@ -192,47 +194,75 @@ def _selem_count(mask, selem, fill: int):
     return cnt
 
 
-def _ws_sweep(cost, lab, energy_sh, mask):
-    """One synchronous 4-neighbour relaxation step (VPU only; the
+def _ws_cost_sweep(cost, energy_sh, mask):
+    """One synchronous 4-neighbour cost relaxation step (VPU only; the
     VMEM-resident formulation that is known to fit Mosaic's scoped-vmem
-    budget — HS scans of the 5-tuple watershed state blow it).
+    budget — HS scans of the full watershed state blow it). Crossing
+    rule matches post_proc_device._ws_scan: the hop count RESETS on a
+    strict ascent (isotone cost; plateau-geodesic tie semantics).
     mask: int32 0/1."""
-    best_c, best_l = cost, lab
+    best_c = cost
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
         q_c = _shift(cost, dy, 0, INT_MAX) if dy else cost
         q_c = _shift(q_c, dx, 1, INT_MAX) if dx else q_c
-        q_l = _shift(lab, dy, 0, 0) if dy else lab
+        best_c = jnp.minimum(best_c, cross_cost(q_c, energy_sh))
+    return jnp.where(mask > 0, best_c, cost)
+
+
+def _ws_label_sweep(sec, lab, cost, energy_sh, mask):
+    """Tie-resolution relaxation on the fixed optimal costs: along
+    cost-attaining edges, minimise (total hops from the marker, marker
+    label) — the canonical history-free fixpoint shared with
+    post_proc_device.watershed_flood."""
+    best_s, best_l = sec, lab
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        q_c = _shift(cost, dy, 0, INT_MAX) if dy else cost
+        q_c = _shift(q_c, dx, 1, INT_MAX) if dx else q_c
+        q_s = _shift(best_s, dy, 0, INT_MAX) if dy else best_s
+        q_s = _shift(q_s, dx, 1, INT_MAX) if dx else q_s
+        q_l = _shift(best_l, dy, 0, 0) if dy else best_l
         q_l = _shift(q_l, dx, 1, 0) if dx else q_l
-        has = (q_l > 0) & (q_c != INT_MAX)
-        lev_bits = jnp.maximum(q_c & ~HOP_MASK, energy_sh)
-        hop_bits = (q_c & HOP_MASK) + 1
-        cand = jnp.where(has, lev_bits | hop_bits, INT_MAX)
-        take = (cand < best_c) | ((cand == best_c) & has & (q_l < best_l))
-        best_c = jnp.where(take, cand, best_c)
+        has = (q_l > 0) & (q_c != INT_MAX) & (q_s != INT_MAX)
+        offer = has & (cross_cost(q_c, energy_sh) == cost)
+        s_c = jnp.where(offer, q_s + 1, INT_MAX)
+        take = offer & ((s_c < best_s) | ((s_c == best_s) & (q_l < best_l)))
+        best_s = jnp.where(take, s_c, best_s)
         best_l = jnp.where(take, q_l, best_l)
     inside = mask > 0
-    best_c = jnp.where(inside, best_c, cost)
-    best_l = jnp.where(inside, best_l, lab)
-    return best_c, best_l
+    return (jnp.where(inside, best_s, sec),
+            jnp.where(inside, best_l, lab))
 
 
 def _watershed(energy_q, markers, mask, n: int):
-    """Relaxation to the minimax-path fixpoint. mask: int32 0/1.
-    Convergence is bounded by the largest blob's path length inside the
-    window — nuclei diameters in practice."""
+    """Two-phase canonical watershed solve (identical result to
+    post_proc_device.watershed_flood and a sequential label-relax solve):
+    cost relaxation to the exact isotone fixpoint, then min-label
+    propagation along optimal edges. mask: int32 0/1. Convergence is
+    bounded by the largest blob's path length inside the window —
+    nuclei diameters in practice."""
     seeded = (markers > 0) & (mask > 0)
     lab0 = jnp.where(seeded, markers, 0)
     energy_sh = energy_q << HOP_BITS
     cost0 = jnp.where(seeded, energy_sh, INT_MAX)
 
-    def body(state):
-        cost, lab, _ = state
-        nc, nb = _ws_sweep(cost, lab, energy_sh, mask)
-        changed = jnp.any(nb != lab) | jnp.any(nc != cost)
-        return nc, nb, changed
+    def cost_body(state):
+        cost, _ = state
+        nc = _ws_cost_sweep(cost, energy_sh, mask)
+        return nc, jnp.any(nc != cost)
 
-    cost, lab, _ = jax.lax.while_loop(
-        lambda s: s[2], body, (cost0, lab0, jnp.bool_(True))
+    cost, _ = jax.lax.while_loop(
+        lambda s: s[1], cost_body, (cost0, jnp.bool_(True))
+    )
+
+    sec0 = jnp.where(seeded, 0, INT_MAX)
+
+    def lab_body(state):
+        sec, lab, _ = state
+        ns, nb = _ws_label_sweep(sec, lab, cost, energy_sh, mask)
+        return ns, nb, jnp.any(nb != lab) | jnp.any(ns != sec)
+
+    _, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], lab_body, (sec0, lab0, jnp.bool_(True))
     )
     return jnp.where(mask > 0, lab, 0)
 
@@ -340,7 +370,7 @@ def _make_kernel(padded_w: int, img_h: int, img_w: int, num_levels: int,
     static_argnames=("num_levels", "marker_min_size", "blob_min_size",
                      "core", "halo", "interpret"),
 )
-def proc_tail_blocked(blb_raw, sob, num_levels: int = 256,
+def proc_tail_blocked(blb_raw, sob, num_levels: int = NUM_LEVELS,
                       marker_min_size: int = 10, blob_min_size: int = 10,
                       core: int = CORE, halo: int = HALO,
                       interpret: bool = False):
@@ -348,7 +378,9 @@ def proc_tail_blocked(blb_raw, sob, num_levels: int = 256,
 
     blb_raw: [N,H,W] bool (thresholded + validity-masked NP map)
     sob:     [N,H,W] f32 max(inverted-normalised Sobel h, v)
-    Returns [N,H,W] int32 labels (global padded indices; remap on host).
+    Returns [N,H,W] int32 labels: each instance's id is its watershed
+    seed's UNPADDED-map linear index + 1 (in [1, H*W]) — window-stitch
+    consistent AND binnable by compact_labels_u16.
     """
     n, h, w = blb_raw.shape
     win = core + 2 * halo
@@ -387,10 +419,19 @@ def proc_tail_blocked(blb_raw, sob, num_levels: int = 256,
         ),
         interpret=interpret,
     )(blb_p, sob_p)
-    return out[:, :h, :w]
+    out = out[:, :h, :w]
+    # localize: labels leave the kernel as PADDED-map linear seed
+    # indices (windows stitch without a merge pass); rewrite each to the
+    # seed's UNPADDED-map linear index + 1 so downstream per-map
+    # compaction (compact_labels_u16) can bin in [0, h*w] — the seed
+    # pixel is always in-image (markers are in_img-masked), so the
+    # remap is a bijection and stitching consistency is preserved
+    gy = (out - 1) // pw - halo
+    gx = (out - 1) % pw - halo
+    return jnp.where(out > 0, gy * w + gx + 1, 0)
 
 
-def proc_np_hv_blocked(pred, valid_mask=None, num_levels: int = 256,
+def proc_np_hv_blocked(pred, valid_mask=None, num_levels: int = NUM_LEVELS,
                        marker_min_size: int = 10, blob_min_size: int = 10,
                        core: int = CORE, halo: int = HALO,
                        interpret: bool = False):

@@ -25,40 +25,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .post_proc_device import HOP_BITS, HOP_MASK, INT_MAX
+from .post_proc_device import HOP_BITS, INT_MAX, cross_cost
 
 
-def _sweep(cost, lab, energy_sh, mask):
-    """One synchronous 4-neighbour relaxation step (VPU only)."""
+def _shifted(x, dy, dx, fill):
+    if dy == -1:
+        x = jnp.concatenate([x[1:], jnp.full_like(x[:1], fill)], axis=0)
+    elif dy == 1:
+        x = jnp.concatenate([jnp.full_like(x[:1], fill), x[:-1]], axis=0)
+    if dx == -1:
+        x = jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
+    elif dx == 1:
+        x = jnp.concatenate([jnp.full_like(x[:, :1], fill), x[:, :-1]], axis=1)
+    return x
 
-    def shifted(x, dy, dx, fill):
-        if dy == -1:
-            x = jnp.concatenate([x[1:], jnp.full_like(x[:1], fill)], axis=0)
-        elif dy == 1:
-            x = jnp.concatenate([jnp.full_like(x[:1], fill), x[:-1]], axis=0)
-        if dx == -1:
-            x = jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
-        elif dx == 1:
-            x = jnp.concatenate([jnp.full_like(x[:, :1], fill), x[:, :-1]], axis=1)
-        return x
 
-    best_c, best_l = cost, lab
+def _cost_sweep(cost, energy_sh, mask):
+    """One synchronous 4-neighbour cost relaxation step (VPU only)."""
+    best_c = cost
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-        q_c = shifted(cost, dy, dx, INT_MAX)
-        q_l = shifted(lab, dy, dx, 0)
-        has = (q_l > 0) & (q_c != INT_MAX)
-        lev_bits = jnp.maximum(q_c & ~HOP_MASK, energy_sh)
-        hop_bits = (q_c & HOP_MASK) + 1
-        cand = jnp.where(has, lev_bits | hop_bits, INT_MAX)
-        take = (cand < best_c) | ((cand == best_c) & has & (q_l < best_l))
-        best_c = jnp.where(take, cand, best_c)
+        q_c = _shifted(cost, dy, dx, INT_MAX)
+        best_c = jnp.minimum(best_c, cross_cost(q_c, energy_sh))
+    return jnp.where(mask, best_c, cost)
+
+
+def _label_sweep(sec, lab, cost, energy_sh, mask):
+    """(total hops, label) minimisation along optimal (cost-attaining)
+    edges — the canonical tie resolution of watershed_flood."""
+    best_s, best_l = sec, lab
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        q_c = _shifted(cost, dy, dx, INT_MAX)
+        q_s = _shifted(best_s, dy, dx, INT_MAX)
+        q_l = _shifted(best_l, dy, dx, 0)
+        has = (q_l > 0) & (q_c != INT_MAX) & (q_s != INT_MAX)
+        offer = has & (cross_cost(q_c, energy_sh) == cost)
+        s_c = jnp.where(offer, q_s + 1, INT_MAX)
+        take = offer & ((s_c < best_s) | ((s_c == best_s) & (q_l < best_l)))
+        best_s = jnp.where(take, s_c, best_s)
         best_l = jnp.where(take, q_l, best_l)
-    # full relaxation (not just unlabeled growth): any pixel may improve
-    best_c = jnp.where(mask, best_c, cost)
-    best_l = jnp.where(mask, best_l, lab)
-    # seeds keep their identity: their own cost is minimal by
-    # construction, so the lex-min never displaces them
-    return best_c, best_l
+    return jnp.where(mask, best_s, sec), jnp.where(mask, best_l, lab)
 
 
 def _kernel(energy_ref, markers_ref, mask_ref, lab_out_ref):
@@ -70,16 +75,25 @@ def _kernel(energy_ref, markers_ref, mask_ref, lab_out_ref):
     lab0 = jnp.where(seeded, markers, 0)
     cost0 = jnp.where(seeded, energy_sh, INT_MAX)
 
-    def cond(state):
-        return state[2]
+    def cost_body(state):
+        cost, _ = state
+        nc = _cost_sweep(cost, energy_sh, mask)
+        return nc, jnp.any(nc != cost)
 
-    def body(state):
-        cost, lab, _ = state
-        nc, nl = _sweep(cost, lab, energy_sh, mask)
-        changed = jnp.any((nc != cost) | (nl != lab))
-        return nc, nl, changed
+    cost, _ = jax.lax.while_loop(
+        lambda s: s[1], cost_body, (cost0, jnp.bool_(True))
+    )
 
-    cost, lab, _ = jax.lax.while_loop(cond, body, (cost0, lab0, jnp.bool_(True)))
+    sec0 = jnp.where(seeded, 0, INT_MAX)
+
+    def lab_body(state):
+        sec, lab, _ = state
+        ns, nb = _label_sweep(sec, lab, cost, energy_sh, mask)
+        return ns, nb, jnp.any(nb != lab) | jnp.any(ns != sec)
+
+    _, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], lab_body, (sec0, lab0, jnp.bool_(True))
+    )
     lab_out_ref[0] = jnp.where(mask, lab, 0)
 
 

@@ -56,6 +56,21 @@ def test_blocked_kernel_instance_parity_vs_oracle(edge_touching):
         aji = get_fast_aji(want, got)
         assert aji > 0.97, aji
 
+    # labels leave proc_tail_blocked as UNPADDED-map linear seed
+    # indices + 1 — the compact_labels_u16 binning contract (ids in
+    # [0, H*W]); a regression to padded-grid indices would silently
+    # alias instances after uint16 compaction on the TPU path
+    raw = np.asarray(out)[0]
+    assert raw.max() <= raw.size, (raw.max(), raw.shape)
+    from hover_net_tpu.ops.post_proc_device import compact_labels_u16
+
+    cmp_lab, nlab = compact_labels_u16(jnp.asarray(raw[None]))
+    cmp_lab = np.asarray(cmp_lab)[0]
+    assert int(np.asarray(nlab)[0]) == len(np.unique(raw)) - 1
+    # compaction is a bijection of ids: same partition of pixels
+    np.testing.assert_array_equal(remap_label(cmp_lab.astype(np.int32)),
+                                  remap_label(raw))
+
 
 def test_blocked_kernel_valid_mask_and_empty():
     from hover_net_tpu.ops.post_proc_pallas import proc_np_hv_blocked
