@@ -52,6 +52,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib.instance_table.restype = None
         lib.apply_lut.restype = None
         lib.trace_contours.restype = ctypes.c_int64
+        lib.trace_contours_coo.restype = ctypes.c_int64
         _LIB = lib
         return lib
     except Exception:
@@ -165,6 +166,48 @@ def trace_contours(labels: np.ndarray, bbox: np.ndarray):
             break
         cap *= 4
     return [pts[offs[i]:offs[i + 1]].copy() for i in range(n)]
+
+
+def trace_contours_coo(yx: np.ndarray, lm: np.ndarray, n_labels: int):
+    """Contours from a device-computed boundary-pixel table — the full
+    label map never crosses to the host (ops/post_proc_device
+    .instance_tables produces the table; ~3% of the map's pixels).
+
+    yx: [n] int32 packed (y << 16) | x, lm: [n] int32 packed
+    (label << 8) | neighbour-bitmask, sorted by (label, y, x).
+    Returns list of [K_i, 2] int32 (x, y) arrays (index i = label i+1;
+    same chains as trace_contours / cv2 CHAIN_APPROX_SIMPLE), or None
+    when the native library is unavailable.
+    """
+    lib = _build_lib()
+    if lib is None:
+        return None
+    n = int(yx.shape[0])
+    if n_labels == 0:
+        return []
+    yx = np.ascontiguousarray(yx, np.int32)
+    lm = np.ascontiguousarray(lm, np.int32)
+    offs = np.empty((n_labels + 1,), np.int64)
+    cap = max(1024, 2 * n)
+    while True:
+        pts = np.empty((cap, 2), np.int32)
+        r = lib.trace_contours_coo(
+            yx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(n), ctypes.c_int32(n_labels),
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if r == -2:
+            raise RuntimeError(
+                "trace_contours_coo: walk left the boundary table "
+                "(inconsistent COO input)"
+            )
+        if r >= 0:
+            break
+        cap *= 4
+    return [pts[offs[i]:offs[i + 1]].copy() for i in range(n_labels)]
 
 
 def apply_lut(labels: np.ndarray, lut: np.ndarray) -> np.ndarray:

@@ -109,50 +109,32 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
         pred_inst, pred_type, n_types=n_types
     )
     native_contours = trace_contours(pred_inst, bbox_t)
-
-    inst_info = {}
-    skipped = []
-    for idx in range(bbox_t.shape[0]):
-        if size_t[idx] == 0:
-            continue
-        rmin, rmax, cmin, cmax = (int(v) for v in bbox_t[idx])
-        if native_contours is not None:
-            contour = native_contours[idx]
-            if contour.shape[0] < 3:
-                skipped.append(idx + 1)
+    if native_contours is None:
+        # no compiler available: per-instance cv2 on bbox crops
+        native_contours = []
+        for idx in range(bbox_t.shape[0]):
+            if size_t[idx] == 0:
+                native_contours.append(np.zeros((0, 2), np.int32))
                 continue
-        else:
+            rmin, rmax, cmin, cmax = (int(v) for v in bbox_t[idx])
             inst_mask = (pred_inst[rmin:rmax, cmin:cmax] == idx + 1).astype(
                 np.uint8)
             contours = cv2.findContours(
                 inst_mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
             )
             if not contours[0]:
-                skipped.append(idx + 1)
+                native_contours.append(np.zeros((0, 2), np.int32))
                 continue
             contour = np.squeeze(contours[0][0].astype("int32"))
-            # < 3 points is not a contour (artifact, post_proc.py:140-143)
-            if contour.ndim != 2 or contour.shape[0] < 3:
-                skipped.append(idx + 1)
-                continue
-            contour[:, 0] += cmin  # X
-            contour[:, 1] += rmin  # Y
-        info = {
-            "bbox": np.array([[rmin, cmin], [rmax, cmax]]),
-            "centroid": centroid_t[idx].copy(),
-            "contour": contour,
-            "type_prob": None,
-            "type": None,
-        }
-        if pred_type is not None:
-            hist = hist_t[idx]
-            order = np.argsort(-hist, kind="stable")
-            inst_type = int(order[0])
-            if inst_type == 0 and len(order) > 1 and hist[order[1]] > 0:
-                inst_type = int(order[1])
-            info["type"] = inst_type
-            info["type_prob"] = float(hist[inst_type] / (size_t[idx] + 1.0e-6))
-        inst_info[idx + 1] = info
+            if contour.ndim != 2:
+                contour = contour.reshape(-1, 2)
+            contour = contour + np.asarray([[cmin, rmin]])
+            native_contours.append(contour)
+
+    inst_info, skipped = assemble_instance_info(
+        bbox_t, centroid_t, size_t, hist_t, native_contours,
+        typed=pred_type is not None,
+    )
 
     if skipped:
         # erase artifact ids and renumber survivors 1..N so the map and
@@ -164,6 +146,95 @@ def extract_instance_info(pred_inst, pred_type=None, n_types: int = 16):
         inst_info = {int(lut[k]): inst_info[k] for k in keep}
 
     return pred_inst, inst_info
+
+
+def assemble_instance_info(bbox_t, centroid_t, size_t, hist_t, contours,
+                           typed: bool):
+    """(tables, contours) -> ({id: info}, skipped ids). The shared tail
+    of extract_instance_info and instance_info_from_tables; instances
+    whose contour has < 3 points are skipped (post_proc.py:140-143)."""
+    inst_info = {}
+    skipped = []
+    for idx in range(bbox_t.shape[0]):
+        if size_t[idx] == 0:
+            continue
+        contour = contours[idx]
+        if contour.shape[0] < 3:
+            skipped.append(idx + 1)
+            continue
+        rmin, rmax, cmin, cmax = (int(v) for v in bbox_t[idx])
+        info = {
+            "bbox": np.array([[rmin, cmin], [rmax, cmax]]),
+            "centroid": np.asarray(centroid_t[idx], np.float64).copy(),
+            "contour": contour,
+            "type_prob": None,
+            "type": None,
+        }
+        if typed:
+            hist = hist_t[idx]
+            order = np.argsort(-hist, kind="stable")
+            inst_type = int(order[0])
+            if inst_type == 0 and len(order) > 1 and hist[order[1]] > 0:
+                inst_type = int(order[1])
+            info["type"] = inst_type
+            info["type_prob"] = float(hist[inst_type] / (size_t[idx] + 1.0e-6))
+        inst_info[idx + 1] = info
+    return inst_info, skipped
+
+
+def instance_info_from_tables(tables, n_labels: int, typed: bool):
+    """Build the inst_info dict from DEVICE-computed tables — the full
+    instance map never crosses to the host (ops/post_proc_device
+    .instance_tables + the native COO tracer).
+
+    tables: dict of HOST numpy arrays (the pulled device tables).
+    Returns (inst_info, lut | None): lut renumbers surviving ids 1..N
+    (apply to the map if/when it is pulled) or None when nothing was
+    skipped. Returns (None, None) when a capacity was exceeded — the
+    caller falls back to the full-map path.
+    """
+    from .instance_table import trace_contours_coo
+
+    if n_labels == 0:
+        return {}, None
+    size = np.asarray(tables["size"])
+    stat_cap = size.shape[0] - 1
+    coo = np.asarray(tables["coo"])
+    coo_n = int(tables["coo_n"])
+    if n_labels > stat_cap or coo_n > coo.shape[0]:
+        return None, None
+    # int32 y/x-coordinate sums are exact below ~1e6 px per instance;
+    # a degenerate giant blob would overflow them
+    if n_labels and int(size[1 : n_labels + 1].max()) > 400_000:
+        return None, None
+
+    yx = coo[:coo_n, 0]
+    lm = coo[:coo_n, 1]
+    contours = trace_contours_coo(yx, lm, n_labels)
+    if contours is None:
+        return None, None
+
+    bbox_t = np.asarray(tables["bbox"])[1 : n_labels + 1]
+    sum_yx = np.asarray(tables["sum_yx"])[1 : n_labels + 1]
+    size_t = size[1 : n_labels + 1].astype(np.int64)
+    with np.errstate(invalid="ignore"):
+        centroid_t = np.stack(
+            [sum_yx[:, 1] / np.maximum(size_t, 1),
+             sum_yx[:, 0] / np.maximum(size_t, 1)],
+            axis=1,
+        )
+    hist_t = (np.asarray(tables["type_hist"])[1 : n_labels + 1]
+              if typed else None)
+    inst_info, skipped = assemble_instance_info(
+        bbox_t, centroid_t, size_t, hist_t, contours, typed=typed
+    )
+    lut = None
+    if skipped:
+        lut = np.zeros(n_labels + 1, np.int32)
+        keep = sorted(inst_info)
+        lut[keep] = np.arange(1, len(keep) + 1, dtype=np.int32)
+        inst_info = {int(lut[k]): inst_info[k] for k in keep}
+    return inst_info, lut
 
 
 def process(pred_map, nr_types=None, return_centroids=False):

@@ -159,11 +159,12 @@ int64_t trace_contours(const int32_t* labels, int64_t h, int64_t w,
         // the instance by construction).
         int64_t cy = sy, cx = sx;
         int back = 4;  // direction from current pixel towards backtrack
-        // emit start pixel
+        // emit start pixel (capacity check BEFORE the write: a prior
+        // label may have exactly filled the buffer)
+        if (total >= capacity) return -1;
         out_points[total * 2 + 0] = (int32_t)sx;
         out_points[total * 2 + 1] = (int32_t)sy;
         ++total; py = sy; px = sx; ly = sy; lx = sx; prev_dir = -2;
-        if (total > capacity) return -1;
         int first_move = -1;  // direction of the first step
         int64_t guard = 4 * (rmax - rmin + 2) * (cmax - cmin + 2) + 16;
         while (guard-- > 0) {
@@ -185,6 +186,121 @@ int64_t trace_contours(const int32_t* labels, int64_t h, int64_t w,
             if (!visit(cy, cx, dir)) return -1;
         }
         // flush the pending pixel (closes the polygon's last segment)
+        if (ly >= 0 && (ly != py || lx != px) && !(ly == sy && lx == sx)) {
+            if (total >= capacity) return -1;
+            out_points[total * 2 + 0] = (int32_t)lx;
+            out_points[total * 2 + 1] = (int32_t)ly;
+            ++total;
+        }
+        (void)run_start;
+        out_offsets[li + 1] = total;
+    }
+    return total;
+}
+
+// COO-based variant of trace_contours: the label map never leaves the
+// device — only its boundary pixels do, as a sorted sparse table the
+// TPU computes (ops/post_proc_device.instance_tables). Each entry
+// carries the pixel's 8-neighbour same-label bitmask, so every
+// neighbour query of the Suzuki-Abe walk is answered either from the
+// current pixel's mask (is the neighbour in my instance?) or by a
+// binary search within the instance's slice (fetch the mask after a
+// move — every visited pixel has a non-same 8-neighbour, hence is in
+// the table). Emits the same CHAIN_APPROX_SIMPLE chains as
+// trace_contours / cv2.
+//
+// yx:   [n] int32 packed (y << 16) | x, sorted by (label, y, x)
+// lm:   [n] int32 packed (label << 8) | mask8, mask bit k = same-label
+//       neighbour in direction k of the E,NE,N,NW,W,SW,S,SE table
+// out_points: [capacity, 2] int32 (x, y)
+// out_offsets:[n_labels + 1] int64
+// Returns total points, or -1 on capacity overflow.
+int64_t trace_contours_coo(const int32_t* yx, const int32_t* lm,
+                           int64_t n, int32_t n_labels,
+                           int32_t* out_points, int64_t capacity,
+                           int64_t* out_offsets) {
+    static const int dy[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+    static const int dx[8] = {1, 1, 0, -1, -1, -1, 0, 1};
+
+    int64_t total = 0;
+    out_offsets[0] = 0;
+    int64_t pos = 0;  // cursor into the (label-sorted) entries
+    for (int32_t li = 0; li < n_labels; ++li) {
+        const int32_t lab = li + 1;
+        // this label's contiguous slice [i0, i1)
+        while (pos < n && (lm[pos] >> 8) < lab) ++pos;
+        const int64_t i0 = pos;
+        while (pos < n && (lm[pos] >> 8) == lab) ++pos;
+        const int64_t i1 = pos;
+        if (i0 == i1) { out_offsets[li + 1] = total; continue; }
+
+        // mask lookup by packed (y, x) within [i0, i1)
+        auto mask_at = [&](int64_t y, int64_t x) -> int {
+            int32_t key = (int32_t)((y << 16) | x);
+            int64_t lo = i0, hi = i1;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (yx[mid] < key) lo = mid + 1; else hi = mid;
+            }
+            if (lo < i1 && yx[lo] == key) return lm[lo] & 0xff;
+            return -1;  // not a boundary pixel (never hit by the walk)
+        };
+
+        // start = raster-first boundary pixel = cv2's start pixel
+        const int64_t sy = yx[i0] >> 16, sx = yx[i0] & 0xffff;
+        int mask = lm[i0] & 0xff;
+
+        const int64_t run_start = total;
+        int prev_dir = -2;
+        int64_t py = -1, px = -1;
+        int64_t ly = -1, lx = -1;
+        auto visit = [&](int64_t y, int64_t x, int dir) -> bool {
+            if (dir != prev_dir) {
+                if (ly >= 0 && (ly != py || lx != px)) {
+                    if (total >= capacity) return false;
+                    out_points[total * 2 + 0] = (int32_t)lx;
+                    out_points[total * 2 + 1] = (int32_t)ly;
+                    ++total; py = ly; px = lx;
+                }
+                prev_dir = dir;
+            }
+            ly = y; lx = x;
+            return true;
+        };
+
+        if (mask == 0) {  // isolated single pixel
+            if (total >= capacity) return -1;
+            out_points[total * 2 + 0] = (int32_t)sx;
+            out_points[total * 2 + 1] = (int32_t)sy;
+            ++total;
+            out_offsets[li + 1] = total;
+            continue;
+        }
+
+        int64_t cy = sy, cx = sx;
+        int back = 4;  // initial backtrack: west
+        if (total >= capacity) return -1;
+        out_points[total * 2 + 0] = (int32_t)sx;
+        out_points[total * 2 + 1] = (int32_t)sy;
+        ++total; py = sy; px = sx; ly = sy; lx = sx; prev_dir = -2;
+        int first_move = -1;
+        int64_t guard = 4 * (i1 - i0) * 8 + 16;
+        while (guard-- > 0) {
+            int dir = -1;
+            for (int k = 1; k <= 8; ++k) {
+                int cand = (back + k) & 7;
+                if (mask & (1 << cand)) { dir = cand; break; }
+            }
+            if (dir < 0) break;  // unreachable: mask != 0
+            if (first_move >= 0 && cy == sy && cx == sx &&
+                dir == first_move) break;
+            if (first_move < 0) first_move = dir;
+            cy += dy[dir]; cx += dx[dir];
+            back = (dir + 4) & 7;
+            mask = mask_at(cy, cx);
+            if (mask < 0) return -2;  // walked off the boundary table
+            if (!visit(cy, cx, dir)) return -1;
+        }
         if (ly >= 0 && (ly != py || lx != px) && !(ly == sy && lx == sx)) {
             if (total >= capacity) return -1;
             out_points[total * 2 + 0] = (int32_t)lx;

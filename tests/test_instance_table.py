@@ -182,3 +182,59 @@ def test_map_and_info_never_desynchronize():
             assert max(map_ids) == len(map_ids)  # contiguous
         # surviving pixels unchanged geometrically
         assert ((synced > 0) <= (before > 0)).all()
+
+
+def test_coo_tables_match_map_path(rng):
+    """Device instance_tables + native COO tracer must reproduce the
+    dense-map finalization exactly: same contours (cv2-bit-exact
+    chains), centroids, bboxes, types."""
+    import jax.numpy as jnp
+
+    from hover_net_tpu.ops.post_proc_device import instance_tables
+    from hover_net_tpu.ops.post_proc_host import (
+        extract_instance_info,
+        instance_info_from_tables,
+    )
+
+    h, w = 200, 240
+    inst = np.zeros((h, w), np.int32)
+    yy, xx = np.mgrid[-14:15, -14:15]
+    k = 1
+    for _ in range(40):
+        cy, cx = int(rng.integers(15, h - 15)), int(rng.integers(15, w - 15))
+        r = int(rng.integers(1, 13))  # includes 1-2 px artifacts
+        m = (yy**2 + xx**2) <= r * r
+        sub = inst[cy - 14 : cy + 15, cx - 14 : cx + 15]
+        sub[m & (sub == 0)] = k
+        k += 1
+    # contiguous ids
+    from hover_net_tpu.metrics import remap_label
+
+    inst = remap_label(inst)
+    n = int(inst.max())
+    tmap = np.where(inst > 0, (inst % 3) + 1, 0).astype(np.uint8)
+
+    tables = instance_tables(
+        jnp.asarray(inst), jnp.asarray(tmap), coo_cap=h * w, nr_types=5
+    )
+    host_tables = {k2: np.asarray(v) for k2, v in tables.items()}
+    info_t, lut = instance_info_from_tables(host_tables, n, typed=True)
+    assert info_t is not None
+
+    ref_map, info_m = extract_instance_info(inst.copy(), tmap.astype(np.int32),
+                                            n_types=5)
+    assert set(info_t.keys()) == set(info_m.keys())
+    for i in info_m:
+        a, b = info_m[i], info_t[i]
+        np.testing.assert_array_equal(a["contour"], b["contour"])
+        np.testing.assert_array_equal(a["bbox"], b["bbox"])
+        np.testing.assert_allclose(a["centroid"], b["centroid"], atol=1e-9)
+        assert a["type"] == b["type"]
+        assert abs(a["type_prob"] - b["type_prob"]) < 1e-9
+    # the lut produced by the tables path matches the map erasure
+    if lut is not None:
+        from hover_net_tpu.ops.instance_table import apply_lut
+
+        np.testing.assert_array_equal(apply_lut(inst.copy(), lut), ref_map)
+    else:
+        np.testing.assert_array_equal(inst, ref_map)
