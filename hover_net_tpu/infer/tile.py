@@ -38,7 +38,11 @@ import numpy as np
 import scipy.io as sio
 
 from ..data.tiling import bucket_grid_dim, prepare_tile_patching
-from ..ops.post_proc_host import extract_instance_info, process as host_process
+from ..ops.post_proc_host import (
+    extract_instance_info,
+    instance_info_from_tables,
+    process as host_process,
+)
 from ..utils.qupath import to_qupath
 from ..utils.viz import overlay_instances
 from ..metrics import remap_label
@@ -123,13 +127,16 @@ class TileInferManager(base.InferManagerBase):
         )
         variables = self._variables_on(device)
         out = run(variables, dev_img, dev_coords, dev_src)
-        # queue device->host copies now: the transfer runs as soon as
+        # queue device->host copies now: the transfers run as soon as
         # the computation finishes, overlapping the next tile's
-        # dispatches instead of blocking inside finalize_prediction
+        # dispatches instead of blocking inside finalize_prediction.
+        # The production path pulls only the small per-instance tables
+        # (stats + boundary COO), never the instance map.
         import os
         if not os.environ.get("HNT_NO_ASYNC_COPY"):
-            _full, inst, tp = out
-            for arr in (inst,) + ((tp,) if tp is not None else ()):
+            _full, _inst, n_labels, _tp, tables = out
+            for arr in (n_labels, tables["coo_n"], tables["stats"],
+                        tables["coo"]):
                 try:
                     arr.copy_to_host_async()
                 except AttributeError:  # non-jax.Array backends
@@ -146,24 +153,71 @@ class TileInferManager(base.InferManagerBase):
             cache[device] = jax.device_put(self.variables, device)
         return cache[device]
 
-    def finalize_prediction(self, img, dev_out, pull_pred_map: bool = True):
-        """Pull device results, remap ids, extract instance info.
+    def finalize_prediction(self, img, dev_out, pull_pred_map: bool = True,
+                            pull_inst_map: bool = True):
+        """Extract instance info from the device tables, optionally pull
+        the maps.
 
-        pull_pred_map=False skips the (12MB/tile) float32 prediction-map
-        transfer and returns the device array slice instead — callers
-        that do need it (--save_raw_map, the oracle path) np.asarray it
-        themselves; everything downstream of the default CLI only uses
-        inst_map/inst_info.
+        The per-nucleus info (bbox/centroid/contour/type — the full
+        json contract) is assembled from the DEVICE-computed tables:
+        per-instance stats + the boundary-pixel COO walked by the
+        native Suzuki-Abe tracer. The instance map itself only crosses
+        the link when a caller needs the dense map (mat export /
+        oracle comparisons): `pull_inst_map=False` skips that transfer
+        and returns the uint16 device array in its place.
+        pull_pred_map=False likewise skips the (12MB/tile) float32
+        prediction-map transfer and returns the device slice.
         """
         src_h, src_w = img.shape[:2]
-        full, inst_dev, tp_dev = dev_out
-        inst_map = remap_label(np.asarray(inst_dev)[:src_h, :src_w])
-        pred_type = np.asarray(tp_dev)[:src_h, :src_w] if self.nr_types else None
-        inst_map, inst_info = extract_instance_info(inst_map, pred_type)
+        full, inst_dev, n_labels, tp_dev, tables = dev_out
+        n = int(np.max(np.asarray(n_labels)))
+        if n > 65535:
+            logger.warning(
+                "uint16 label compaction overflow: %d instances in one "
+                "tile (> 65535) — ids were aliased", n,
+            )
+
+        inst_info = lut = None
+        if n <= 65535:
+            # exactly two array pulls (async-queued at dispatch); all
+            # slicing happens host-side — a per-tile device slice would
+            # cost a round trip (and a compile per distinct length)
+            stats = np.asarray(tables["stats"])
+            host_tables = {
+                "coo_n": np.asarray(tables["coo_n"]),
+                "coo": np.asarray(tables["coo"]),
+                "bbox": stats[:, 0:4],
+                "sum_yx": stats[:, 4:6],
+                "size": stats[:, 6],
+            }
+            if stats.shape[1] > 7:
+                host_tables["type_hist"] = stats[:, 7:]
+            inst_info, lut = instance_info_from_tables(
+                host_tables, n, typed=self.nr_types is not None
+            )
+
+        if inst_info is None:
+            # capacity overflow (degenerate content): dense-map path
+            inst_map = remap_label(
+                np.asarray(inst_dev)[:src_h, :src_w].astype(np.int32)
+            )
+            pred_type = (np.asarray(tp_dev)[:src_h, :src_w].astype(np.int32)
+                         if self.nr_types else None)
+            inst_map, inst_info = extract_instance_info(inst_map, pred_type)
+            inst_map = inst_map.astype(np.int32)
+        elif pull_inst_map:
+            inst_map = np.asarray(inst_dev)[:src_h, :src_w].astype(np.int32)
+            if lut is not None:  # erase artifact ids (keeps map==dict)
+                from ..ops.instance_table import apply_lut
+
+                inst_map = apply_lut(inst_map, lut)
+        else:
+            inst_map = inst_dev  # device uint16 (caller pulls if needed)
+
         pred_map = full[:src_h, :src_w]
         if pull_pred_map:
             pred_map = np.asarray(pred_map).astype(np.float32)
-        return pred_map, inst_map.astype(np.int32), inst_info
+        return pred_map, inst_map, inst_info
 
     def predict_image(self, img: np.ndarray):
         """RGB uint8 image -> (pred_map [H,W,C] cropped to src,
@@ -257,7 +311,7 @@ class TileInferManager(base.InferManagerBase):
                     logger.exception("crash on %s", name)
                     continue
             while pending and (path is None
-                               or len(pending) >= 2 * len(self.devices)):
+                               or len(pending) >= 3 * len(self.devices)):
                 name, img, dev_out, t0 = pending.pop(0)
                 try:
                     pred_map, inst_map, inst_info = self.finalize_prediction(

@@ -54,6 +54,7 @@ from ..data.tiling import (
 )
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from ..ops import cc_np
+from ..ops.post_proc_device import compact_labels_u16 as _compact_u16
 from ..ops.post_proc_device import proc_np_hv_batch
 from ..ops.post_proc_host import extract_instance_info
 from ..metrics import remap_label
@@ -64,27 +65,18 @@ from .wsi_handler import get_file_handler
 logger = logging.getLogger("hover_net_tpu")
 
 
-def _compact_u16(inst):
-    """Per-window compaction of global-index labels to dense ids so
-    instance maps cross to the host as uint16 (half the D2H volume; a
-    2048^2 window holds < 42k >=10px instances, far under 65k).
-    inst: [B, H, W] int32 -> [B, H, W] uint16 (0 stays background)."""
-
-    def compact(lab):
-        flat = lab.ravel()
-        order = jnp.argsort(flat)
-        s = flat[order]
-        ranks = jnp.cumsum(jnp.concatenate([
-            jnp.zeros((1,), jnp.int32),
-            (s[1:] != s[:-1]).astype(jnp.int32),
-        ]))
-        # background (0) is the minimum when present -> rank 0; if a
-        # window had no bg pixel, shift ids up so no instance aliases 0
-        ranks = ranks + jnp.where(s[0] > 0, 1, 0)
-        out = jnp.zeros_like(flat).at[order].set(ranks)
-        return out.reshape(lab.shape)
-
-    return jnp.clip(jax.vmap(compact)(inst), 0, 65535).astype(jnp.uint16)
+def _warn_u16_overflow(n_labels_dev):
+    """Loud signal if the uint16 window compaction ever clipped: all
+    instances ranked >= 65535 would have been aliased into one label
+    (a degenerate prediction far outside the <42k nuclei a 2048^2
+    window holds in practice)."""
+    n = int(np.max(np.asarray(n_labels_dev)))
+    if n > 65535:
+        logger.warning(
+            "uint16 window compaction overflow: %d instances in one "
+            "post-proc window (> 65535) — ids were aliased; rerun with "
+            "a smaller tile_shape or inspect the prediction", n,
+        )
 
 
 def _simple_tissue_mask(handler):
@@ -251,13 +243,14 @@ class WSIInferManager(base.InferManagerBase):
 
                 bsh = batch_sharding(self.mesh)
                 kw = {"mesh": self.mesh, "in_specs": (P("data"), P("data")),
-                      "out_specs": P("data")}
+                      "out_specs": (P("data"), P("data"))}
                 try:  # vma tracking rejects the scalar while_loop carries
                     inner = shard_map(fn, check_vma=False, **kw)
                 except TypeError:  # older jax spells it check_rep
                     inner = shard_map(fn, check_rep=False, **kw)
                 self._pp_fn = jax.jit(
-                    inner, in_shardings=(bsh, bsh), out_shardings=bsh
+                    inner, in_shardings=(bsh, bsh),
+                    out_shardings=(bsh, bsh),
                 )
         return self._pp_fn
 
@@ -281,11 +274,28 @@ class WSIInferManager(base.InferManagerBase):
             self._fwd_fns["scatter"] = scatter
         return self._fwd_fns["scatter"]
 
-    def _pp_windows_fn(self, shape):
+    def _pp_windows_fn(self, shape, batch=None):
         """Per-window-class jitted post-proc over DEVICE slices of the
         resident pred buffer: vmapped dynamic_slice -> validity mask
         from box scalars -> proc_np_hv_batch. Returns (inst int32,
-        tp uint8 | zeros)."""
+        tp uint8 | zeros).
+
+        With `batch` given, returns an AOT-compiled executable for that
+        exact batch size instead of the jit wrapper — prewarm compiles
+        via shape structs (never allocating a second full-size pred
+        buffer next to the live one) and the dispatch loop then calls
+        the same cached executable."""
+        if batch is not None:
+            ckey = ("ppdevc", shape, batch, self._pred_dev.shape)
+            if ckey not in self._fwd_fns:
+                self._fwd_fns[ckey] = self._pp_windows_fn(shape).lower(
+                    jax.ShapeDtypeStruct(self._pred_dev.shape,
+                                         self._pred_dev.dtype),
+                    jax.ShapeDtypeStruct((batch, 2), jnp.int32),
+                    jax.ShapeDtypeStruct((batch, 4), jnp.int32),
+                    jax.ShapeDtypeStruct((2,), jnp.int32),
+                ).compile()
+            return self._fwd_fns[ckey]
         key = ("ppdev", shape)
         if key not in self._fwd_fns:
             hc, wc = shape
@@ -315,10 +325,10 @@ class WSIInferManager(base.InferManagerBase):
                 b = boxes[:, :, None, None]  # [B, 4, 1, 1]
                 valid = ((ri >= b[:, 0]) & (ri < b[:, 1])
                          & (ci >= b[:, 2]) & (ci < b[:, 3]))
-                inst = _compact_u16(proc_np_hv_batch(seg, valid))
+                inst, nlab = _compact_u16(proc_np_hv_batch(seg, valid))
                 tp = (wins[..., 0].astype(jnp.uint8) if typed
                       else jnp.zeros(wins.shape[:3], jnp.uint8))
-                return inst, tp
+                return inst, nlab, tp
 
             self._fwd_fns[key] = pp
         return self._fwd_fns[key]
@@ -338,6 +348,11 @@ class WSIInferManager(base.InferManagerBase):
             for boxes in (tg, tb, tc):
                 for idx in range(boxes.shape[0]):
                     tl, br = boxes[idx]
+                    if (br - tl).min() <= 0:
+                        # degenerate clipped box (e.g. a boundary strip
+                        # on a tile edge coinciding with the slide edge)
+                        # — the dispatch loop skips these too
+                        continue
                     _, shape = self._canonical_window(tl, br)
                     shapes[shape] = True
             batch = 4 * self.n_devices
@@ -345,12 +360,13 @@ class WSIInferManager(base.InferManagerBase):
                 [int(v) for v in self.wsi_proc_shape], jnp.int32)
             for (hc, wc) in shapes:
                 if self._pred_dev_mode:
-                    buf = jnp.zeros(self._pred_dev.shape,
-                                    self._pred_dev.dtype)
-                    out = self._pp_windows_fn((hc, wc))(
-                        buf, jnp.zeros((batch, 2), jnp.int32),
-                        jnp.zeros((batch, 4), jnp.int32), img_hw,
-                    )
+                    # AOT compile on shape structs: warming with a real
+                    # zeros buffer would allocate a SECOND full-size
+                    # pred map concurrently with chunk inference (~2x
+                    # the budget -> OOM risk); the dispatch loop calls
+                    # this same cached executable
+                    self._pp_windows_fn((hc, wc), batch)
+                    continue
                 else:
                     dt = (jnp.float16
                           if self.pred_map_dtype == np.float16
@@ -522,10 +538,11 @@ class WSIInferManager(base.InferManagerBase):
             y0, y1, x0, x1 = geom
             img_hw = jnp.asarray(
                 [int(v) for v in self.wsi_proc_shape], jnp.int32)
-            inst_dev, tp_dev = self._pp_windows_fn((hc, wc))(
+            inst_dev, nlab_dev, tp_dev = self._pp_windows_fn((hc, wc))(
                 self._pred_dev, jnp.asarray([(wy, wx)], jnp.int32),
                 jnp.asarray([geom], jnp.int32), img_hw,
             )
+            _warn_u16_overflow(nlab_dev)
             inst = remap_label(
                 np.asarray(inst_dev)[0, y0:y1, x0:x1].astype(np.int32))
             tp = (np.asarray(tp_dev)[0, y0:y1, x0:x1].astype(np.int32)
@@ -569,7 +586,8 @@ class WSIInferManager(base.InferManagerBase):
             [int(v) for v in self.wsi_proc_shape], jnp.int32)
 
         def finalize(item):
-            idxs, inst_dev, geoms, tps = item
+            idxs, inst_dev, nlab_dev, geoms, tps = item
+            _warn_u16_overflow(nlab_dev)
             inst_host = np.asarray(inst_dev).astype(np.int32, copy=False)
             if tps is not None and not isinstance(tps, list):
                 # device-mode: tp windows pulled as one uint8 stack
@@ -602,13 +620,14 @@ class WSIInferManager(base.InferManagerBase):
                     if n < batch:  # repeat the last window (sliced off)
                         starts += [starts[-1]] * (batch - n)
                         rel_boxes += [rel_boxes[-1]] * (batch - n)
-                    inst_dev, tp_dev = self._pp_windows_fn(shape)(
+                    inst_dev, nlab_dev, tp_dev = self._pp_windows_fn(shape)(
                         self._pred_dev,
                         jnp.asarray(starts, jnp.int32),
                         jnp.asarray(rel_boxes, jnp.int32),
                         img_hw,
                     )
                     inst_dev = inst_dev[:n]
+                    nlab_dev = nlab_dev[:n]
                     tps = tp_dev[:n] if typed else [None] * n
                 else:
                     wins, valids, geoms, tps = [], [], [], []
@@ -629,15 +648,17 @@ class WSIInferManager(base.InferManagerBase):
                         pad = batch - n
                         wins += [np.zeros_like(wins[0])] * pad
                         valids += [np.zeros_like(valids[0])] * pad
-                    inst_dev = self._post_proc_fn()(
+                    inst_dev, nlab_dev = self._post_proc_fn()(
                         jnp.asarray(np.stack(wins)),
                         jnp.asarray(np.stack(valids))
-                    )[:n]
+                    )
+                    inst_dev = inst_dev[:n]
+                    nlab_dev = nlab_dev[:n]
                 try:  # overlap the D2H pull with later dispatches
                     inst_dev.copy_to_host_async()
                 except AttributeError:
                     pass
-                pending.append((sub, inst_dev, geoms, tps))
+                pending.append((sub, inst_dev, nlab_dev, geoms, tps))
                 while len(pending) > inflight:
                     finalize(pending.pop(0))
         while pending:

@@ -32,7 +32,7 @@ def test_original_mode_fused_pipeline():
     padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
                     mode="reflect")
     run = make_tile_pipeline(model, grid, (src_h, src_w), batch=4)
-    full, inst, tp = run(variables, jnp.asarray(padded),
+    full, inst, _nlab, tp, _tables = run(variables, jnp.asarray(padded),
                          jnp.asarray(coords, jnp.int32))
     assert full.shape == (src_h, src_w, 3)
     assert inst.shape == (src_h, src_w)

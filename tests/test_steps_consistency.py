@@ -36,7 +36,7 @@ def test_fused_pipeline_matches_staged():
 
     # fused (what TileInferManager uses), with sub-batching enabled
     run = make_tile_pipeline(model, grid, (src_h, src_w), batch=3)
-    full_f, inst_f, tp_f = run(variables, dev_img, dev_coords)
+    full_f, inst_f, _nlab, tp_f, _tables = run(variables, dev_img, dev_coords)
 
     # staged
     patches = extract_patches(dev_img, dev_coords, win)

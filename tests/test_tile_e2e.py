@@ -145,7 +145,7 @@ def test_canonical_grid_one_program_for_mixed_sizes(tiny_checkpoint, tmp_path):
         padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0)),
                         mode="reflect")
         run = make_tile_pipeline(mgr.model, grid, src, batch=4)
-        f2, i2, _ = run(mgr.variables, jnp.asarray(padded),
+        f2, i2, _nlab, _, _tables = run(mgr.variables, jnp.asarray(padded),
                         jnp.asarray(coords, jnp.int32))
         np.testing.assert_allclose(pred_map, np.asarray(f2), atol=1e-5)
         a = remap_label(inst_map)
