@@ -271,6 +271,49 @@ def import_torch_state_dict(state: Dict[str, np.ndarray], cfg: HoVerNetConfig):
     return traverse_util.unflatten_dict(flat)
 
 
+def export_torch_state_dict(variables, cfg: HoVerNetConfig) -> Dict[str, np.ndarray]:
+    """Inverse of `import_torch_state_dict`: our {params, batch_stats}
+    pytree -> a reference-layout torch state dict (numpy values, no
+    'module.' prefixes). Conv kernels transpose HWIO -> OIHW. Every
+    reference variable must be present — the exported dict loads into
+    `/root/reference`'s `create_model(...)` with strict=True."""
+    flat = traverse_util.flatten_dict(
+        serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables)
+        )
+    )
+    out = {}
+    for torch_key, flax_path, transform in torch_name_map(cfg):
+        if flax_path not in flat:
+            raise KeyError(f"variables missing {flax_path} (-> {torch_key})")
+        v = np.asarray(flat[flax_path])
+        if transform == "OIHW":
+            v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        out[torch_key] = v
+    # the reference UpSample2x registers its constant ones(2,2) unpool
+    # matrix as a buffer (net_utils.py:279-282), so strict state-dict
+    # loads expect it
+    out["upsample2x.unpool_mat"] = np.ones((2, 2), np.float32)
+    return out
+
+
+def save_torch_tar(path: str, variables, cfg: HoVerNetConfig,
+                   data_parallel_prefix: bool = True):
+    """Write a reference-format '.tar' checkpoint ({'desc': state_dict},
+    run_train.py:196-203) loadable by the reference `run_infer.py` —
+    the reverse converter of `load_torch_tar`, so models trained here
+    can be evaluated (or resumed) in the reference framework."""
+    import torch
+
+    state = {
+        ("module." + k if data_parallel_prefix else k): torch.from_numpy(
+            np.array(v, order="C")  # fresh writable buffer for torch
+        )
+        for k, v in export_torch_state_dict(variables, cfg).items()
+    }
+    torch.save({"desc": state}, path)
+
+
 def load_torch_tar(path: str, cfg: HoVerNetConfig):
     """Load a reference '.tar' checkpoint ('desc' entry) and convert.
 
