@@ -25,6 +25,7 @@ from .stats import (
 
 def run_nuclei_inst_stat(pred_dir, true_dir, print_img_stats=False, ext=".mat"):
     files = sorted(glob.glob(f"{pred_dir}/*{ext}"))
+    assert files, f"no prediction {ext} files under {pred_dir}"
     metrics = [[], [], [], [], [], []]
     for path in files:
         basename = os.path.basename(path).split(".")[0]
@@ -52,6 +53,7 @@ def run_nuclei_inst_stat(pred_dir, true_dir, print_img_stats=False, ext=".mat"):
 
 def run_nuclei_type_stat(pred_dir, true_dir, type_uid_list=None, exhaustive=True):
     files = sorted(glob.glob(f"{pred_dir}/*.mat"))
+    assert files, f"no prediction .mat files under {pred_dir}"
     paired_all, unpaired_true_all, unpaired_pred_all = [], [], []
     true_types_all, pred_types_all = [], []
     true_offset = pred_offset = 0
