@@ -89,10 +89,16 @@ class ConditionalSaver(BaseCallback):
         best = -float("inf") if self.comparator in (">", ">=") else float("inf")
         with open(state.log_info["json_file"]) as f:
             stats = json.load(f)
-        for epoch_stat in stats.values():
+        # when chained under the train engine (valid metrics), epochs in
+        # stats.json are the PARENT's
+        epoch = (state.global_state.curr_epoch
+                 if state.global_state is not None else state.curr_epoch)
+        current = stats.get(str(epoch), {}).get(self.metric_name)
+        for ep, epoch_stat in stats.items():
+            if ep == str(epoch):
+                continue
             if self.metric_name in epoch_stat and op(epoch_stat[self.metric_name], best):
                 best = epoch_stat[self.metric_name]
-        current = stats.get(str(state.curr_epoch), {}).get(self.metric_name)
         if current is None or not op(current, best):
             return
         state.run_info.save_checkpoint(

@@ -274,6 +274,11 @@ class TrainManager:
                     lambda acc: proc_valid_step_output(acc, nr_types)
                 ),
                 cb.LoggingEpochOutput(),
+                # best-valid-metric checkpoint: the reference ships this
+                # callback but never wires it (callbacks/base.py:105,
+                # opt.py engine spec) — here it is on by default, after
+                # LoggingEpochOutput so stats.json holds this epoch
+                cb.ConditionalSaver("valid-np_dice", comparator=">="),
             ],
         }.items():
             for c in cbs:

@@ -60,6 +60,8 @@ def test_two_phase_training(tmp_path):
     for phase_idx in range(2):
         d = str(tmp_path / "logs" / f"{phase_idx:02d}")
         assert os.path.exists(f"{d}/net_epoch=1.msgpack"), d
+        # ConditionalSaver (wired by default, unlike the reference)
+        assert os.path.exists(f"{d}/net_best=[valid-np_dice].msgpack"), d
         with open(f"{d}/stats.json") as f:
             stats = json.load(f)
         assert "1" in stats
