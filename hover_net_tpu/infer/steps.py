@@ -57,6 +57,79 @@ def extract_patches(padded_img, coords, size: int):
     return jax.vmap(one)(coords)
 
 
+def _tables_tail(full, inst_batch, typed: bool, nr_types):
+    """Shared device tail: label compaction (uint16 crossings) +
+    per-instance tables (stats + boundary COO — what the host pulls
+    INSTEAD of the instance map, ~3-4x less D2H through the
+    production path; the map itself is only pulled for mat export).
+
+    The tables cross as exactly TWO fixed-capacity arrays (packed
+    stats + COO), async-copied at dispatch: through a high-latency
+    link, per-tile host->device round trips (dynamic slices, many
+    small pulls) cost far more than the bytes they save."""
+    from ..ops.post_proc_device import compact_labels_u16, instance_tables
+
+    inst, n_labels = compact_labels_u16(inst_batch)
+    tp_map = (full[..., 0].astype(jnp.uint8) if typed
+              else jnp.zeros(full.shape[:2], jnp.uint8))
+    h, w = inst.shape[1], inst.shape[2]
+    t = instance_tables(
+        inst[0].astype(jnp.int32), tp_map,
+        coo_cap=min(1 << 16, h * w),
+        nr_types=(nr_types if typed else None),
+    )
+    parts = [t["bbox"], t["sum_yx"], t["size"][:, None]]
+    if "type_hist" in t:
+        parts.append(t["type_hist"])
+    tables = {
+        "stats": jnp.concatenate(parts, axis=-1),
+        "coo": t["coo"],
+        "coo_n": t["coo_n"],
+    }
+    return inst, n_labels, tp_map, tables
+
+
+def _reflect_pp(full, src_hw_vec, typed: bool, exact: bool = False):
+    """reflect-101 the source content over the canonical extension (so
+    min-max normalisation sees exactly the source value range; exactly
+    cv2's implicit Sobel border in the reference post-proc), build the
+    validity mask confining instances to the source, and run the
+    watershed tail. Idempotent in `full`: re-applying the mirror reads
+    only source rows/cols, so an already-reflected map round-trips —
+    the seam-guard refine path relies on this."""
+    from ..ops.post_proc_device import proc_np_hv_batch
+
+    sh, sw = src_hw_vec[0], src_hw_vec[1]
+    rr = jnp.arange(full.shape[0])
+    cc = jnp.arange(full.shape[1])
+    ridx = jnp.where(rr < sh, rr, jnp.clip(2 * sh - 2 - rr, 0))
+    cidx = jnp.where(cc < sw, cc, jnp.clip(2 * sw - 2 - cc, 0))
+    full = full[ridx][:, cidx]
+    valid = (rr < sh)[:, None] & (cc < sw)[None, :]
+    seg = full[..., 1:4] if typed else full[..., 0:3]
+    inst_b = proc_np_hv_batch(seg[None], valid[None], exact=exact)
+    return full, inst_b
+
+
+def make_pp_refine(model: HoVerNet):
+    """Exact re-solve of an already-stitched canonical pred map — the
+    seam-guard fallback (ops/post_proc_device.seam_suspects): when the
+    blocked kernel's halo bound was violated (giant/degenerate
+    instances), the tile's post-proc tail re-runs with the all-XLA
+    scan path, skipping the forward. Same output contract as the
+    make_tile_pipeline dynamic program."""
+    typed = model.cfg.nr_types is not None
+
+    @jax.jit
+    def refine(full, src_hw_vec):
+        full, inst_b = _reflect_pp(full, src_hw_vec, typed, exact=True)
+        inst, n_labels, tp_map, tables = _tables_tail(
+            full, inst_b, typed, model.cfg.nr_types)
+        return full, inst[0], n_labels, tp_map, tables
+
+    return refine
+
+
 def make_tile_pipeline(model: HoVerNet, grid, src_hw=None, batch: int = 0):
     """ONE jit-compiled dispatch per tile: padded image -> (pred_map,
     inst_map, tp_map).
@@ -82,11 +155,7 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw=None, batch: int = 0):
       size (callers crop host-side). One compiled program then serves a
       whole canonical grid class of image sizes.
     """
-    from ..ops.post_proc_device import (
-        compact_labels_u16,
-        instance_tables,
-        proc_np_hv_batch,
-    )
+    from ..ops.post_proc_device import proc_np_hv_batch
 
     win = model.cfg.patch_input_shape
     typed = model.cfg.nr_types is not None
@@ -94,12 +163,21 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw=None, batch: int = 0):
 
     def forward_stitch(variables, padded_img, coords):
         patches = extract_patches(padded_img, coords, win)
-        if batch and batch < patches.shape[0]:
+        # `batch` is a soft activation-memory cap: a single batch beats
+        # lax.map sub-batching by ~25ms/tile on TPU (measured, 49x256^2
+        # w64), so only split when the grid is well past the cap
+        if batch and 2 * batch < patches.shape[0]:
             k = patches.shape[0]
-            pad_k = (-k) % batch
+            # balance the sub-batches instead of padding to `batch`:
+            # 80 patches at batch 32 would pad to 3x32 (20% wasted
+            # forward compute); 3x27 keeps the memory bound and wastes
+            # one patch slot
+            nb = -(-k // batch)
+            eff = -(-k // nb)
+            pad_k = nb * eff - k
             p = jnp.concatenate(
                 [patches, jnp.zeros((pad_k,) + patches.shape[1:], patches.dtype)]
-            ).reshape(-1, batch, *patches.shape[1:])
+            ).reshape(-1, eff, *patches.shape[1:])
             out = jax.lax.map(lambda x: infer_output(model, variables, x), p)
             out = out.reshape(-1, *out.shape[2:])[:k]
         else:
@@ -109,33 +187,7 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw=None, batch: int = 0):
         return full.reshape(r * h, c * w, ch)
 
     def tail(full, inst_batch):
-        """Shared device tail: label compaction (uint16 crossings) +
-        per-instance tables (stats + boundary COO — what the host pulls
-        INSTEAD of the instance map, ~3-4x less D2H through the
-        production path; the map itself is only pulled for mat export).
-
-        The tables cross as exactly TWO fixed-capacity arrays (packed
-        stats + COO), async-copied at dispatch: through a high-latency
-        link, per-tile host->device round trips (dynamic slices, many
-        small pulls) cost far more than the bytes they save."""
-        inst, n_labels = compact_labels_u16(inst_batch)
-        tp_map = (full[..., 0].astype(jnp.uint8) if typed
-                  else jnp.zeros(full.shape[:2], jnp.uint8))
-        h, w = inst.shape[1], inst.shape[2]
-        t = instance_tables(
-            inst[0].astype(jnp.int32), tp_map,
-            coo_cap=min(1 << 16, h * w),
-            nr_types=(model.cfg.nr_types if typed else None),
-        )
-        parts = [t["bbox"], t["sum_yx"], t["size"][:, None]]
-        if "type_hist" in t:
-            parts.append(t["type_hist"])
-        tables = {
-            "stats": jnp.concatenate(parts, axis=-1),
-            "coo": t["coo"],
-            "coo_n": t["coo_n"],
-        }
-        return inst, n_labels, tp_map, tables
+        return _tables_tail(full, inst_batch, typed, model.cfg.nr_types)
 
     if src_hw is not None:
 
@@ -158,17 +210,7 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw=None, batch: int = 0):
     @jax.jit
     def run_dynamic(variables, padded_img, coords, src_hw_vec):
         full = forward_stitch(variables, padded_img, coords)
-        sh, sw = src_hw_vec[0], src_hw_vec[1]
-        rr = jnp.arange(full.shape[0])
-        cc = jnp.arange(full.shape[1])
-        # reflect-101 the source content over the canonical extension so
-        # min-max normalisation sees exactly the source value range
-        ridx = jnp.where(rr < sh, rr, jnp.clip(2 * sh - 2 - rr, 0))
-        cidx = jnp.where(cc < sw, cc, jnp.clip(2 * sw - 2 - cc, 0))
-        full = full[ridx][:, cidx]
-        valid = (rr < sh)[:, None] & (cc < sw)[None, :]
-        seg = full[..., 1:4] if typed else full[..., 0:3]
-        inst_b = proc_np_hv_batch(seg[None], valid[None])
+        full, inst_b = _reflect_pp(full, src_hw_vec, typed)
         inst, n_labels, tp_map, tables = tail(full, inst_b)
         return full, inst[0], n_labels, tp_map, tables
 

@@ -153,8 +153,33 @@ class TileInferManager(base.InferManagerBase):
             cache[device] = jax.device_put(self.variables, device)
         return cache[device]
 
+    def _pp_refine_fn(self):
+        """Exact-scan re-solve program for the seam-guard fallback
+        (compiled lazily — only a contract-violating tile ever pays)."""
+        if getattr(self, "_pp_refine", None) is None:
+            from .steps import make_pp_refine
+
+            self._pp_refine = make_pp_refine(self.model)
+        return self._pp_refine
+
+    def _seam_refine(self, img, full, n_sus, pull_pred_map, pull_inst_map):
+        from ..ops.post_proc_device import active_blocked_geom
+
+        logger.warning(
+            "seam guard: %d instance(s) exceed the blocked post-proc "
+            "kernel's %s halo bound — re-solving the tile with the "
+            "exact scan path", n_sus, active_blocked_geom(
+                *(int(v) for v in full.shape[:2])),
+        )
+        src_h, src_w = img.shape[:2]
+        refined = self._pp_refine_fn()(
+            full, jnp.asarray([src_h, src_w], jnp.int32))
+        return self.finalize_prediction(
+            img, refined, pull_pred_map, pull_inst_map, _seam_checked=True)
+
     def finalize_prediction(self, img, dev_out, pull_pred_map: bool = True,
-                            pull_inst_map: bool = True):
+                            pull_inst_map: bool = True,
+                            _seam_checked: bool = False):
         """Extract instance info from the device tables, optionally pull
         the maps.
 
@@ -167,9 +192,17 @@ class TileInferManager(base.InferManagerBase):
         and returns the uint16 device array in its place.
         pull_pred_map=False likewise skips the (12MB/tile) float32
         prediction-map transfer and returns the device slice.
+
+        Instances violating the blocked kernel's halo bound
+        (ops/post_proc_device.seam_suspects) trigger one exact-path
+        re-solve of the whole tile; `_seam_checked` marks that second
+        pass (no re-check — the exact path has no seams).
         """
+        from ..ops.post_proc_device import seam_suspects
+
         src_h, src_w = img.shape[:2]
         full, inst_dev, n_labels, tp_dev, tables = dev_out
+        pp_hw = tuple(int(v) for v in inst_dev.shape[:2])
         n = int(np.max(np.asarray(n_labels)))
         if n > 65535:
             logger.warning(
@@ -183,6 +216,11 @@ class TileInferManager(base.InferManagerBase):
             # slicing happens host-side — a per-tile device slice would
             # cost a round trip (and a compile per distinct length)
             stats = np.asarray(tables["stats"])
+            if not _seam_checked and n:
+                sus = seam_suspects(stats[1 : n + 1, 0:4], *pp_hw)
+                if sus.any():
+                    return self._seam_refine(img, full, int(sus.sum()),
+                                             pull_pred_map, pull_inst_map)
             host_tables = {
                 "coo_n": np.asarray(tables["coo_n"]),
                 "coo": np.asarray(tables["coo"]),
@@ -205,6 +243,14 @@ class TileInferManager(base.InferManagerBase):
                          if self.nr_types else None)
             inst_map, inst_info = extract_instance_info(inst_map, pred_type)
             inst_map = inst_map.astype(np.int32)
+            if not _seam_checked and inst_info:
+                bb = np.array([[v["bbox"][0][0], v["bbox"][1][0],
+                                v["bbox"][0][1], v["bbox"][1][1]]
+                               for v in inst_info.values()])
+                sus = seam_suspects(bb, *pp_hw)
+                if sus.any():
+                    return self._seam_refine(img, full, int(sus.sum()),
+                                             pull_pred_map, pull_inst_map)
         elif pull_inst_map:
             inst_map = np.asarray(inst_dev)[:src_h, :src_w].astype(np.int32)
             if lut is not None:  # erase artifact ids (keeps map==dict)

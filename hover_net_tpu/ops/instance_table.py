@@ -174,7 +174,8 @@ def trace_contours_coo(yx: np.ndarray, lm: np.ndarray, n_labels: int):
     .instance_tables produces the table; ~3% of the map's pixels).
 
     yx: [n] int32 packed (y << 16) | x, lm: [n] int32 packed
-    (label << 8) | neighbour-bitmask, sorted by (label, y, x).
+    (label << 8) | neighbour-bitmask, in raster (y, x) order (labels
+    interleaved — the native side counting-sorts by label).
     Returns list of [K_i, 2] int32 (x, y) arrays (index i = label i+1;
     same chains as trace_contours / cv2 CHAIN_APPROX_SIMPLE), or None
     when the native library is unavailable.

@@ -46,6 +46,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import filters
 from .cc_np import ellipse_structuring_element
@@ -302,9 +303,80 @@ def _shift(arr, axis: int, amt: int, fill):
     return jnp.where(valid, rolled, fill)
 
 
-@functools.partial(jax.jit, static_argnames=("num_levels", "marker_min_size", "blob_min_size"))
+def blocked_geom(h: int, w: int):
+    """(core, halo) the blocked-VMEM kernel uses for an (h, w) map.
+
+    halo == 0 means the whole map fits one VMEM window and the blocked
+    solve is EXACT (no seams); the (8,128)-aligned core bounds the
+    padding waste. Larger maps use 256/128 (measured optimum fused into
+    the tile program) or the HNT_PP_GEOM=core,halo override."""
+    if max(h, w) <= 512:
+        return max(-(-max(h, w) // 128) * 128, 128), 0
+    import os
+
+    geom = os.environ.get("HNT_PP_GEOM")
+    if geom:
+        core, halo = (int(v) for v in geom.split(","))
+        return core, halo
+    return 256, 128
+
+
+def active_blocked_geom(h: int, w: int):
+    """(core, halo) when proc_np_hv_batch would take the seamed blocked
+    path for an (h, w) map — else None (exact solve, no guard needed)."""
+    if _post_proc_mode(h, w) != "fulltail":
+        return None
+    core, halo = blocked_geom(h, w)
+    return (core, halo) if halo > 0 else None
+
+
+def seam_suspects(bbox, h: int, w: int, geom=None):
+    """Conservative runtime detector for the blocked kernel's halo
+    bound (post_proc_pallas.py:26-30): a component whose extent exceeds
+    the halo may resolve differently across block seams — a giant blob
+    from a degenerate prediction silently FRAGMENTS instead of
+    erroring. A seam cut leaves fragments whose bboxes END exactly on
+    a core gridline, and the window that could see the far side of the
+    cut keeps a piece spanning more than `halo` past the seam (that is
+    what made the other window blind). So: flag every output instance
+    with extent > halo whose bbox touches or straddles a core
+    gridline. Legit nuclei at 40x are well under a 128-px halo, so in
+    practice this only fires on contract violations (and at worst
+    re-solves a window holding a genuinely giant instance exactly).
+
+    bbox: [N, 4] (rmin, rmax_excl, cmin, cmax_excl) host array in the
+    post-proc map's coordinates; (h, w): the map shape the solve ran
+    on; geom: (core, halo) override for tests — defaults to the live
+    active_blocked_geom (all-False when the exact path ran).
+
+    Returns [N] bool. Callers re-solve flagged windows with
+    proc_np_hv_batch(..., exact=True) and log a warning."""
+    bbox = np.asarray(bbox)
+    n = bbox.shape[0]
+    if geom is None:
+        geom = active_blocked_geom(h, w)
+    if geom is None or n == 0:
+        return np.zeros((n,), bool)
+    core, halo = geom
+    rmin, rmax = bbox[:, 0], bbox[:, 1]
+    cmin, cmax = bbox[:, 2], bbox[:, 3]
+    nonempty = (rmax > rmin) & (cmax > cmin)
+    tall = (rmax - rmin) > halo
+    wide = (cmax - cmin) > halo
+    # bbox touches a block gridline at k*core (a cut fragment's edge
+    # lies ON the seam) or straddles one (inclusive last index)
+    r_seam = ((rmin % core == 0) | (rmax % core == 0)
+              | ((rmin // core) != ((rmax - 1) // core)))
+    c_seam = ((cmin % core == 0) | (cmax % core == 0)
+              | ((cmin // core) != ((cmax - 1) // core)))
+    return nonempty & ((tall & r_seam) | (wide & c_seam))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_levels", "marker_min_size", "blob_min_size", "exact"))
 def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = NUM_LEVELS,
-                     marker_min_size: int = 10, blob_min_size: int = 10):
+                     marker_min_size: int = 10, blob_min_size: int = 10,
+                     exact: bool = False):
     """Batched __proc_np_hv (post_proc.py:26-90): [N,H,W,3] -> [N,H,W] int32.
 
     Channels: 0 nuclei prob, 1 horizontal, 2 vertical.
@@ -313,25 +385,16 @@ def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = NUM_LEVELS,
     image region when `pred` carries reflect-padding beyond it (the
     padded area still feeds the Sobel window like cv2's reflected
     border, but can't spawn instances).
+
+    exact=True forces the all-XLA scan formulation even on TPU — the
+    seam-guard fallback for maps where the blocked kernel's halo bound
+    was violated (see seam_suspects).
     """
     h, w = pred.shape[1], pred.shape[2]
-    if _post_proc_mode(h, w) == "fulltail":
+    if not exact and _post_proc_mode(h, w) == "fulltail":
         from .post_proc_pallas import proc_np_hv_blocked
 
-        if max(h, w) <= 512:
-            # the whole map fits one VMEM window: halo 0 makes the
-            # blocked solve EXACT (no seams), and the (8,128)-aligned
-            # core bounds the padding waste
-            core = max(-(-max(h, w) // 128) * 128, 128)
-            halo = 0
-        else:
-            import os
-
-            geom = os.environ.get("HNT_PP_GEOM")
-            if geom:
-                core, halo = (int(v) for v in geom.split(","))
-            else:
-                core, halo = 256, 128
+        core, halo = blocked_geom(h, w)
         return proc_np_hv_blocked(
             pred, valid_mask, num_levels=num_levels,
             marker_min_size=marker_min_size, blob_min_size=blob_min_size,
@@ -381,24 +444,31 @@ def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = NUM_LEVELS,
 def compact_labels_u16(inst):
     """Per-window compaction of positive labels to dense ids so
     instance maps cross to the host as uint16 (quarter the D2H volume
-    of int32). Labels must be window-linear pixel indices in
-    [0, H*W] (what connected_components / the blocked kernel produce).
+    of int32). Labels must be SEED-INDEX labels: id = the component's
+    seed pixel's window-linear index + 1, with the seed pixel itself
+    carrying its own id (what connected_components and both watershed
+    paths produce — CCL seeds at the component's min pixel, watershed
+    markers keep their seed label).
 
-    Rank = number of present labels <= own label, computed with a
-    presence scatter + prefix sum — a full-map argsort here costs
-    ~50ms/1M px on TPU, the cumsum formulation ~1ms.
+    The seed-index property makes presence ELEMENTWISE
+    (lab[i] == i + 1 exactly at seed pixels), so the rank (number of
+    present labels <= own label) is one prefix sum + one gather — no
+    scatter. A scatter formulation costs ~25ms/1.3M px on TPU (XLA
+    lowers scatter to a sort), the gather one ~5ms, an argsort ~50ms.
 
     inst: [B, H, W] int32 -> ([B, H, W] uint16 (0 stays background),
     [B] int32 distinct-label count — callers warn if it ever exceeds
     65535, where the clip would alias ids)."""
     n, h, w = inst.shape
+    iota1 = jnp.arange(1, h * w + 1, dtype=jnp.int32)
 
     def compact(lab):
         flat = lab.ravel()
-        present = jnp.zeros((h * w + 1,), jnp.int32).at[flat].max(1)
-        present = present.at[0].set(0)
+        present = (flat == iota1).astype(jnp.int32)
         ranks = jnp.cumsum(present)
-        return ranks[flat].reshape(lab.shape), ranks[-1]
+        # rank of label L = ranks[L - 1]; background (0) -> rank 0
+        out = jnp.where(flat > 0, ranks[jnp.maximum(flat - 1, 0)], 0)
+        return out.reshape(lab.shape), ranks[-1]
 
     out, n_labels = jax.vmap(compact)(inst)
     return jnp.clip(out, 0, 65535).astype(jnp.uint16), n_labels
@@ -432,8 +502,9 @@ def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
     compact_labels_u16 output); tp_map: [H, W] uint8/int type map.
 
     Returns dict:
-      coo    [coo_cap, 2] int32 ((y<<16)|x, (label<<8)|mask8), sorted
-             by (label, y, x); slack rows ((2^31-1), 0)
+      coo    [coo_cap, 2] int32 ((y<<16)|x, (label<<8)|mask8), raster
+             (y, x) order with labels interleaved (the native tracer
+             counting-sorts by label); slack rows ((2^31-1), 0)
       coo_n  [] int32 true boundary-pixel count (host falls back to a
              full-map pull when it exceeds coo_cap)
       bbox   [stat_cap+1, 4] int32 (rmin, rmax_excl, cmin, cmax_excl)
@@ -454,42 +525,70 @@ def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    key = jnp.where(boundary, lab, INT_MAX).ravel()
-    # stable sort by label keeps raster order within each label —
-    # exactly the (label, y, x) order the native tracer requires
-    order = jnp.argsort(key, stable=True)[:coo_cap]
-    valid = key[order] != INT_MAX
-    pyx = ((yy << 16) | xx).ravel()[order]
-    plm = ((lab << 8) | same).ravel()[order]
+    # compact boundary pixels in RASTER order by INVERTING the prefix
+    # sum with a binary search: position of the i-th boundary pixel =
+    # searchsorted(cumsum(boundary), i+1). All-gather formulation —
+    # XLA lowers a full-map scatter to a ~25ms sort per 1.3M px on
+    # TPU, the 21-step binary search over coo_cap queries costs ~2ms.
+    # The native tracer restores the (label, y, x) grouping with an
+    # O(n) counting sort (raster order within each label preserved).
+    flatb = boundary.ravel().astype(jnp.int32)
+    cum = jnp.cumsum(flatb)
+    coo_n = cum[-1]
+    pos = jnp.searchsorted(
+        cum, jnp.arange(1, coo_cap + 1, dtype=jnp.int32), side="left"
+    )
+    hit = jnp.arange(coo_cap, dtype=jnp.int32) < jnp.minimum(coo_n, coo_cap)
+    pos = jnp.minimum(pos, h * w - 1)
+    pyx = ((yy << 16) | xx).ravel()
+    plm = ((lab << 8) | same).ravel()
     coo = jnp.stack(
-        [jnp.where(valid, pyx, INT_MAX), jnp.where(valid, plm, 0)],
+        [
+            jnp.where(hit, pyx[pos], INT_MAX),
+            jnp.where(hit, plm[pos], 0),
+        ],
         axis=-1,
     )
-    coo_n = jnp.sum(boundary.astype(jnp.int32))
 
+    # size / coordinate sums / type histogram: ONE merged scatter-add
+    # (payload [1, y, x, onehot(type)...]) — scatter cost on TPU scales
+    # with the update count (sort-based lowering), not the payload
+    # width, so 1 pass beats the naive 3 + nr_types passes ~5x
     flat = jnp.minimum(lab.ravel(), stat_cap)
     ys, xs = yy.ravel(), xx.ravel()
-    zeros = jnp.zeros((stat_cap + 1,), jnp.int32)
-    size = zeros.at[flat].add(1)
-    sum_y = zeros.at[flat].add(ys)
-    sum_x = zeros.at[flat].add(xs)
-    rmin = jnp.full((stat_cap + 1,), h, jnp.int32).at[flat].min(ys)
-    rmax = zeros.at[flat].max(ys + 1)
-    cmin = jnp.full((stat_cap + 1,), w, jnp.int32).at[flat].min(xs)
-    cmax = zeros.at[flat].max(xs + 1)
+    cols = [jnp.ones_like(flat), ys, xs]
+    if nr_types:
+        t = jnp.clip(tp_map.astype(jnp.int32).ravel(), 0, nr_types - 1)
+        cols += [(t == k).astype(jnp.int32) for k in range(nr_types)]
+    payload = jnp.stack(cols, axis=-1)
+    sums = jnp.zeros((stat_cap + 1, payload.shape[1]), jnp.int32) \
+        .at[flat].add(payload)
+
+    # bbox: an instance's row/col extremes always lie on its boundary
+    # (an extreme pixel has an outside neighbour), so min/max over the
+    # compacted COO entries (<= coo_cap updates) suffices — when the
+    # table overflows (coo_n > coo_cap) the host falls back to the
+    # dense-map path anyway
+    bl = jnp.where(hit, coo[:, 1] >> 8, stat_cap)
+    bl = jnp.minimum(bl, stat_cap)
+    by = jnp.where(hit, coo[:, 0] >> 16, 0)
+    bx = jnp.where(hit, coo[:, 0] & 0xFFFF, 0)
+    mins = jnp.full((stat_cap + 1, 2), jnp.iinfo(jnp.int32).max, jnp.int32) \
+        .at[bl].min(jnp.stack([by, bx], axis=-1))
+    maxs = jnp.zeros((stat_cap + 1, 2), jnp.int32) \
+        .at[bl].max(jnp.stack([by + 1, bx + 1], axis=-1))
+    rmin = jnp.where(sums[:, 0] > 0, mins[:, 0], h)
+    cmin = jnp.where(sums[:, 0] > 0, mins[:, 1], w)
 
     out = {
         "coo": coo,
         "coo_n": coo_n,
-        "bbox": jnp.stack([rmin, rmax, cmin, cmax], axis=-1),
-        "sum_yx": jnp.stack([sum_y, sum_x], axis=-1),
-        "size": size,
+        "bbox": jnp.stack([rmin, maxs[:, 0], cmin, maxs[:, 1]], axis=-1),
+        "sum_yx": sums[:, 1:3],
+        "size": sums[:, 0],
     }
     if nr_types:
-        th = jnp.zeros((stat_cap + 1, nr_types), jnp.int32)
-        out["type_hist"] = th.at[
-            flat, jnp.clip(tp_map.astype(jnp.int32).ravel(), 0, nr_types - 1)
-        ].add(1)
+        out["type_hist"] = sums[:, 3:]
     return out
 
 

@@ -36,6 +36,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_map_compat(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map across jax versions: prefer the stable jax.shard_map
+    (v0.8+), fall back to jax.experimental; replica/VMA checking off —
+    the WSI kernels carry scalar while_loop state and Pallas custom
+    calls that the trackers reject."""
+    try:
+        sm = jax.shard_map
+    except AttributeError:  # pre-0.8
+        from jax.experimental.shard_map import shard_map as sm
+    kw = {"mesh": mesh, "in_specs": in_specs, "out_specs": out_specs}
+    try:
+        return sm(fn, check_vma=False, **kw)
+    except TypeError:  # older jax spells it check_rep
+        return sm(fn, check_rep=False, **kw)
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """device_put a host batch pytree with the leading dim sharded."""
     sh = batch_sharding(mesh, axis)

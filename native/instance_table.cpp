@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -209,18 +210,41 @@ int64_t trace_contours(const int32_t* labels, int64_t h, int64_t w,
 // the table). Emits the same CHAIN_APPROX_SIMPLE chains as
 // trace_contours / cv2.
 //
-// yx:   [n] int32 packed (y << 16) | x, sorted by (label, y, x)
+// yx:   [n] int32 packed (y << 16) | x, in raster (y, x) order with
+//       labels interleaved (a device cumsum+scatter compaction; a
+//       device-side (label, y, x) sort would cost a ~1M-element
+//       argsort per tile — the label grouping is restored here with an
+//       O(n) stable counting sort, raster order preserved per label)
 // lm:   [n] int32 packed (label << 8) | mask8, mask bit k = same-label
 //       neighbour in direction k of the E,NE,N,NW,W,SW,S,SE table
 // out_points: [capacity, 2] int32 (x, y)
 // out_offsets:[n_labels + 1] int64
-// Returns total points, or -1 on capacity overflow.
-int64_t trace_contours_coo(const int32_t* yx, const int32_t* lm,
+// Returns total points, -1 on capacity overflow, -2 on corrupt input.
+int64_t trace_contours_coo(const int32_t* yx_in, const int32_t* lm_in,
                            int64_t n, int32_t n_labels,
                            int32_t* out_points, int64_t capacity,
                            int64_t* out_offsets) {
     static const int dy[8] = {0, -1, -1, -1, 0, 1, 1, 1};
     static const int dx[8] = {1, 1, 0, -1, -1, -1, 0, 1};
+
+    // stable counting sort by label: [n] raster-ordered -> label slices
+    std::vector<int32_t> syx((size_t)n), slm((size_t)n);
+    {
+        std::vector<int64_t> off((size_t)n_labels + 2, 0);
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t lab = lm_in[i] >> 8;
+            if (lab < 1 || lab > n_labels) return -2;
+            ++off[(size_t)lab + 1];
+        }
+        for (size_t l = 1; l < off.size(); ++l) off[l] += off[l - 1];
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t p = off[(size_t)(lm_in[i] >> 8)]++;
+            syx[(size_t)p] = yx_in[i];
+            slm[(size_t)p] = lm_in[i];
+        }
+    }
+    const int32_t* yx = syx.data();
+    const int32_t* lm = slm.data();
 
     int64_t total = 0;
     out_offsets[0] = 0;

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/hnt_wsi")
     ap.add_argument("--n_devices", type=int, default=1)
     ap.add_argument("--chunk_shape", type=int, default=4096)
+    ap.add_argument("--hbm_pred_budget", type=int, default=4 << 30,
+                    help="bytes of HBM for the resident pred map; "
+                    "0 forces the mmap (over-HBM) path")
     args = ap.parse_args()
 
     n = args.size
@@ -67,6 +70,7 @@ def main():
         chunk_shape=args.chunk_shape, tile_shape=2048, ambiguous_size=128,
         proc_mag=40, cache_path=f"{args.workdir}/cache",
         n_devices=args.n_devices,
+        hbm_pred_budget=args.hbm_pred_budget,
     )
     for f in (f"{out_dir}/slide.json",):
         if os.path.exists(f):
@@ -82,6 +86,7 @@ def main():
         "metric": "wsi_mpx_per_sec_per_chip",
         "value": round(mpx / dt, 4), "unit": "Mpx/s",
         "wall_s": round(dt, 1), "n_nuclei": len(nuc),
+        "path": "mmap" if args.hbm_pred_budget == 0 else "auto",
     }))
 
 

@@ -159,6 +159,80 @@ def test_wsi_postproc_sharded_matches_single(tmp_path):
     assert set(results[0][1].keys()) == set(results[1][1].keys())
 
 
+def test_wsi_striped_resident_matches_single(tmp_path):
+    """Mesh-striped HBM-resident pred buffer (scatter into row stripes,
+    window gather + psum_scatter reads) reproduces the single-device
+    resident path bit-exactly through all 3 post-proc phases."""
+    from hover_net_tpu.infer.wsi import WSIInferManager
+    from hover_net_tpu.data.tiling import wsi_tile_grids
+    from hover_net_tpu.models import HoVerNetConfig
+    from hover_net_tpu.ops.targets import gen_instance_hv_map
+    from hover_net_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    shape = (700, 600)
+    inst_gt = _paint(shape, rng, 110)
+    hv = gen_instance_hv_map(inst_gt, shape)
+    pred = np.dstack([(inst_gt > 0).astype(np.float32),
+                      hv[..., 0], hv[..., 1]]).astype(np.float16)
+
+    cfg = HoVerNetConfig(mode="fast", nr_types=None, width=8)
+    out_sz = cfg.patch_output_shape
+    # non-overlapping output grid covering the map (plus slack overrun)
+    ys = list(range(0, shape[0], out_sz))
+    xs = list(range(0, shape[1], out_sz))
+    padded = np.zeros((ys[-1] + out_sz, xs[-1] + out_sz, 3), np.float16)
+    padded[: shape[0], : shape[1]] = pred
+    coords = np.array([(y, x) for y in ys for x in xs], np.int32)
+    patches = np.stack([padded[y:y + out_sz, x:x + out_sz]
+                        for y, x in coords])
+
+    results = []
+    for n_dev in (1, 8):
+        mgr = WSIInferManager.__new__(WSIInferManager)
+        mgr.cfg = cfg
+        mgr.nr_types = None
+        mgr.tile_shape = 256
+        mgr.ambiguous_size = 32
+        mgr.pred_map_dtype = np.dtype("float16")
+        mgr.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        mgr.n_devices = n_dev
+        mgr._fwd_fns = {}
+        mgr._pp_fn = None
+        mgr.wsi_proc_shape = np.array(shape)
+        mgr.wsi_mask = np.ones((70, 60), np.uint8)
+        mgr.wsi_inst_info = {}
+        mgr.wsi_inst_map = np.zeros(shape, np.int32)
+        mgr._alloc_pred_dev(3)
+        assert mgr._pred_dev_mode
+
+        # scatter the patch outputs in batches of 8 (divides the mesh)
+        scatter = mgr._scatter_fn()
+        dustbin = np.array(mgr._pred_dev.shape[:2], np.int32)
+        for i in range(0, len(coords), 8):
+            sub = coords[i:i + 8]
+            outs = patches[i:i + 8]
+            if len(sub) < 8:
+                pad = 8 - len(sub)
+                sub = np.concatenate(
+                    [sub, np.broadcast_to(dustbin, (pad, 2))])
+                outs = np.concatenate(
+                    [outs, np.zeros((pad,) + outs.shape[1:], outs.dtype)])
+            mgr._pred_dev = scatter(
+                mgr._pred_dev, jnp.asarray(outs), jnp.asarray(sub))
+
+        tg, tb, tc = wsi_tile_grids(np.array(shape),
+                                    np.array([256, 256]), 32)
+        mgr._dispatch_post_processing(tg, mgr._cb_normal_tile, "p1")
+        mgr._dispatch_post_processing(tb, mgr._cb_fixing_tile, "p2")
+        mgr._dispatch_post_processing(tc, mgr._cb_fixing_tile, "p3")
+        results.append((mgr.wsi_inst_map.copy(), dict(mgr.wsi_inst_info)))
+
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    assert set(results[0][1].keys()) == set(results[1][1].keys())
+    assert int(results[0][0].max()) > 50  # actually found the nuclei
+
+
 def test_masked_selection_vectorized_equivalence():
     """Summed-area-table tissue test == per-box ROI sums."""
     from hover_net_tpu.infer.wsi import WSIInferManager
