@@ -74,10 +74,15 @@ def median_blur(rng, img, max_ksize=3):
 
 
 def additive_gaussian_noise(rng, img, scale=0.05 * 255, per_channel_p=0.5):
+    # float32 generation + arithmetic: ~2x over the float64 default
+    # (identical distribution; sample values were never imgaug-stream
+    # reproducible — see PARITY.md on augmentation RNG)
+    sigma = np.float32(rng.uniform(0, scale))
     if rng.uniform() < per_channel_p:
-        noise = rng.normal(0, rng.uniform(0, scale), img.shape)
+        noise = rng.standard_normal(img.shape, dtype=np.float32) * sigma
     else:
-        noise = rng.normal(0, rng.uniform(0, scale), img.shape[:2])[..., None]
+        noise = (rng.standard_normal(img.shape[:2], dtype=np.float32)
+                 * sigma)[..., None]
     return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
@@ -92,8 +97,8 @@ def add_to_hue(rng, img, rng_range=(-8, 8)):
 
 
 def add_to_saturation(rng, img, rng_range=(-0.2, 0.2)):
-    value = 1 + rng.uniform(*rng_range)
-    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    value = np.float32(1 + rng.uniform(*rng_range))
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
     out = img * value + (gray * (1 - value))[..., None]
     return np.clip(out, 0, 255).astype(np.uint8)
 
@@ -104,8 +109,8 @@ def add_to_brightness(rng, img, rng_range=(-26, 26)):
 
 
 def add_to_contrast(rng, img, rng_range=(0.75, 1.25)):
-    value = rng.uniform(*rng_range)
-    mean = np.mean(img, axis=(0, 1), keepdims=True)
+    value = np.float32(rng.uniform(*rng_range))
+    mean = img.mean(axis=(0, 1), keepdims=True, dtype=np.float32)
     out = img * value + mean * (1 - value)
     return np.clip(out, 0, 255).astype(np.uint8)
 
@@ -123,10 +128,17 @@ class TrainAugmentor:
         self.rng = np.random.default_rng(seed)
 
     def __call__(self, img: np.ndarray, ann: np.ndarray):
-        """img uint8 HWC, ann int32 HW[,C]; returns augmented pair with
-        img cropped to input_shape (ann stays full-size for target gen,
-        like the reference feeds the uncropped inst map to gen_targets).
-        """
+        """img uint8 HWC, ann int32 HW[,C]; returns the augmented pair,
+        BOTH center-cropped to input_shape.
+
+        The crop sits right after the affine — exactly the reference's
+        shape_augs chain (Affine -> CropToFixedSize(center) -> Fliplr ->
+        Flipud, train_loader.py:113-138, applied to img AND ann) — so
+        flips, photometric augs and downstream HV-target generation all
+        run at input_shape (256^2 fast), not the 540^2 source patch:
+        ~4.4x less photometric/target host work per sample, and
+        boundary instances normalise their HV extents over the SAME
+        clipped view the reference sees."""
         rng = self.rng
         if self.mode == "train":
             m = self.affine.sample_matrix(rng, img.shape)
@@ -136,6 +148,8 @@ class TrainAugmentor:
             else:
                 ann = np.dstack([self.affine.apply(m, ann[..., i])
                                  for i in range(ann.shape[-1])])
+            img = cropping_center(img, self.input_shape)
+            ann = cropping_center(ann, self.input_shape)
             if rng.uniform() < 0.5:
                 img, ann = img[:, ::-1].copy(), ann[:, ::-1].copy()
             if rng.uniform() < 0.5:
@@ -153,6 +167,8 @@ class TrainAugmentor:
                            add_to_brightness, add_to_contrast]
             for i in rng.permutation(4):
                 img = photometric[i](rng, img)
+            return img, ann
 
         img = cropping_center(img, self.input_shape)
+        ann = cropping_center(ann, self.input_shape)
         return img, ann

@@ -27,17 +27,20 @@ def test_augmentor_shapes_and_alignment(tmp_path):
     aug = TrainAugmentor((96, 96), mode="train", seed=0)
     out_img, out_ann = aug(img, ann)
     assert out_img.shape == (96, 96, 3)
-    assert out_ann.shape == (140, 140, 2)  # ann stays full-size
+    # ann follows the img through affine+crop+flips, like the
+    # reference's shape_augs chain (train_loader.py:113-138)
+    assert out_ann.shape == (96, 96, 2)
     # annotation stays integer-valued (nearest-neighbour interp)
     assert set(np.unique(out_ann[..., 1])) <= {0, 3}
 
 
 def test_augmentor_valid_mode_is_center_crop():
     img = np.arange(140 * 140 * 3, dtype=np.uint8).reshape(140, 140, 3)
-    ann = np.zeros((140, 140, 1), np.int32)
+    ann = np.arange(140 * 140, dtype=np.int32).reshape(140, 140, 1)
     aug = TrainAugmentor((96, 96), mode="valid", seed=0)
     out_img, out_ann = aug(img.copy(), ann)
     np.testing.assert_array_equal(out_img, img[22:118, 22:118])
+    np.testing.assert_array_equal(out_ann, ann[22:118, 22:118])
 
 
 def test_photometric_ops_preserve_shape_dtype():
