@@ -53,6 +53,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib.apply_lut.restype = None
         lib.trace_contours.restype = ctypes.c_int64
         lib.trace_contours_coo.restype = ctypes.c_int64
+        lib.fragment_labels.restype = ctypes.c_int32
         _LIB = lib
         return lib
     except Exception:
@@ -209,6 +210,26 @@ def trace_contours_coo(yx: np.ndarray, lm: np.ndarray, n_labels: int):
             break
         cap *= 4
     return [pts[offs[i]:offs[i + 1]].copy() for i in range(n_labels)]
+
+
+def fragment_labels(ann: np.ndarray):
+    """4-connected same-value fragment labelling of an int32 map.
+
+    Returns ([H, W] int32 fragment map numbered 1..F in first-raster-
+    pixel order, F), or None when the native library is unavailable
+    (callers fall back to scipy.sparse.csgraph). The graph step of
+    fix_mirror_padding (ops/targets.py) on the train-loader hot path."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    ann = np.ascontiguousarray(ann, np.int32)
+    out = np.empty(ann.shape, np.int32)
+    n = lib.fragment_labels(
+        ann.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(ann.shape[0]), ctypes.c_int64(ann.shape[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, int(n)
 
 
 def apply_lut(labels: np.ndarray, lut: np.ndarray) -> np.ndarray:

@@ -49,20 +49,31 @@ def fix_mirror_padding(ann):
 
     h, w = ann.shape
     n = ann.size
-    node = np.full(n, -1, np.int64)
-    node = node.reshape(h, w)
-    node.ravel()[fg_idx] = np.arange(fg_idx.size)
 
-    same_v = (ann[:-1] == ann[1:]) & (ann[:-1] != 0)
-    same_h = (ann[:, :-1] == ann[:, 1:]) & (ann[:, :-1] != 0)
-    ei = np.concatenate([node[:-1][same_v], node[:, :-1][same_h]])
-    ej = np.concatenate([node[1:][same_v], node[:, 1:][same_h]])
+    from .instance_table import fragment_labels
 
-    g = coo_matrix(
-        (np.ones(ei.size, np.uint8), (ei, ej)),
-        shape=(fg_idx.size, fg_idx.size),
-    )
-    n_frag, frag = connected_components(g, directed=False)
+    native = fragment_labels(ann)
+    if native is not None:
+        # one native union-find pass (fragments numbered in first-
+        # raster-pixel order, 1-based) — replaces the scipy graph build
+        # below on the train-loader hot path
+        frag_map, n_frag = native
+        frag = frag_map.ravel()[fg_idx] - 1
+    else:
+        node = np.full(n, -1, np.int64)
+        node = node.reshape(h, w)
+        node.ravel()[fg_idx] = np.arange(fg_idx.size)
+
+        same_v = (ann[:-1] == ann[1:]) & (ann[:-1] != 0)
+        same_h = (ann[:, :-1] == ann[:, 1:]) & (ann[:, :-1] != 0)
+        ei = np.concatenate([node[:-1][same_v], node[:, :-1][same_h]])
+        ej = np.concatenate([node[1:][same_v], node[:, 1:][same_h]])
+
+        g = coo_matrix(
+            (np.ones(ei.size, np.uint8), (ei, ej)),
+            shape=(fg_idx.size, fg_idx.size),
+        )
+        n_frag, frag = connected_components(g, directed=False)
 
     orig_id = np.zeros(n_frag, flat.dtype)
     orig_id[frag] = flat[fg_idx]

@@ -337,4 +337,63 @@ int64_t trace_contours_coo(const int32_t* yx_in, const int32_t* lm_in,
     return total;
 }
 
+// 4-connected SAME-VALUE fragment labelling of an int32 annotation
+// map: two pixels share a fragment iff 4-adjacent with equal nonzero
+// value. This is the graph step of fix_mirror_padding (reference
+// dataloader/augs.py:18-32) — mirrored shape augmentation duplicates
+// instance ids, and each spatial fragment must become its own id. One
+// union-find pass over the row/col edges replaces a scipy
+// coo_matrix + csgraph.connected_components build (~6 ms -> <1 ms per
+// 256^2 training sample on the loader hot path,
+// hover_net_tpu/ops/targets.py).
+//
+// out: [h*w] int32, 0 on background, fragments numbered 1..F in order
+// of each fragment's first raster pixel. Returns F.
+int32_t fragment_labels(const int32_t* ann, int64_t h, int64_t w,
+                        int32_t* out) {
+    const int64_t n = h * w;
+    std::vector<int32_t> parent((size_t)n);
+    for (int64_t i = 0; i < n; ++i) parent[(size_t)i] = (int32_t)i;
+
+    // iterative find with path halving
+    auto find = [&](int32_t x) {
+        while (parent[(size_t)x] != x) {
+            parent[(size_t)x] = parent[(size_t)parent[(size_t)x]];
+            x = parent[(size_t)x];
+        }
+        return x;
+    };
+
+    for (int64_t y = 0; y < h; ++y) {
+        const int32_t* row = ann + y * w;
+        for (int64_t x = 0; x < w; ++x) {
+            int32_t v = row[x];
+            if (v == 0) continue;
+            int64_t i = y * w + x;
+            if (x + 1 < w && row[x + 1] == v) {
+                int32_t a = find((int32_t)i), b = find((int32_t)(i + 1));
+                if (a != b) { if (a < b) parent[(size_t)b] = a;
+                              else parent[(size_t)a] = b; }
+            }
+            if (y + 1 < h && row[x + w] == v) {
+                int32_t a = find((int32_t)i), b = find((int32_t)(i + w));
+                if (a != b) { if (a < b) parent[(size_t)b] = a;
+                              else parent[(size_t)a] = b; }
+            }
+        }
+    }
+
+    // roots are raster-minimal (we always union toward the smaller
+    // index), so numbering fragments at first root encounter yields
+    // first-raster-pixel order
+    int32_t next = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (ann[i] == 0) { out[i] = 0; continue; }
+        int32_t r = find((int32_t)i);
+        if (r == (int32_t)i) out[i] = ++next;
+        else out[i] = out[r];
+    }
+    return next;
+}
+
 }  // extern "C"

@@ -238,3 +238,35 @@ def test_coo_tables_match_map_path(rng):
         np.testing.assert_array_equal(apply_lut(inst.copy(), lut), ref_map)
     else:
         np.testing.assert_array_equal(inst, ref_map)
+
+
+def test_fragment_labels_matches_scipy_graph():
+    """Native union-find fragment labelling == the scipy csgraph
+    formulation inside fix_mirror_padding (duplicate ids from mirrored
+    augmentation must split identically)."""
+    from hover_net_tpu.ops import instance_table as it
+    from hover_net_tpu.ops.targets import fix_mirror_padding
+
+    if it._build_lib() is None:
+        import pytest
+
+        pytest.skip("no native compiler")
+
+    rng = np.random.default_rng(4)
+    ann = np.zeros((200, 180), np.int32)
+    yy, xx = np.mgrid[-6:6, -6:6]
+    disk = (yy**2 + xx**2) <= 36
+    for k in range(1, 70):
+        cy, cx = rng.integers(8, 170, 2)
+        sub = ann[cy - 6 : cy + 6, cx - 6 : cx + 6]
+        sub[disk & (sub == 0)] = k % 13 + 1  # heavy id duplication
+    native = fix_mirror_padding(ann)
+
+    lib_state = (it._LIB, it._LIB_FAILED)
+    try:
+        it._LIB, it._LIB_FAILED = None, True  # force the scipy path
+        fallback = fix_mirror_padding(ann)
+    finally:
+        it._LIB, it._LIB_FAILED = lib_state
+    np.testing.assert_array_equal(native, fallback)
+    assert native.max() > ann.max()  # fragments actually split
