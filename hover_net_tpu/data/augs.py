@@ -60,6 +60,24 @@ class AffineAug:
             borderMode=cv2.BORDER_REFLECT_101,
         )
 
+    def apply_cropped(self, m, arr, out_shape):
+        """Warp + center-crop fused: compose the crop offset into the
+        matrix and render ONLY the out_shape window (~4.4x less warp
+        work for 540^2 -> 256^2 than warping the full source and
+        cropping). Equivalent to cropping_center(apply(m, arr)) up to
+        float tie-breaking of nearest-neighbour sample coordinates
+        (img and ann share one matrix, so they stay aligned)."""
+        h, w = arr.shape[:2]
+        oh, ow = out_shape
+        y0, x0 = (h - oh) // 2, (w - ow) // 2
+        m2 = m.copy()
+        m2[0, 2] -= x0
+        m2[1, 2] -= y0
+        return cv2.warpAffine(
+            arr, m2, (ow, oh), flags=cv2.INTER_NEAREST,
+            borderMode=cv2.BORDER_REFLECT_101,
+        )
+
 
 def gaussian_blur(rng, img, max_ksize=3):
     k = rng.integers(0, max_ksize, 2) * 2 + 1
@@ -74,45 +92,61 @@ def median_blur(rng, img, max_ksize=3):
 
 
 def additive_gaussian_noise(rng, img, scale=0.05 * 255, per_channel_p=0.5):
-    # float32 generation + arithmetic: ~2x over the float64 default
-    # (identical distribution; sample values were never imgaug-stream
-    # reproducible — see PARITY.md on augmentation RNG)
-    sigma = np.float32(rng.uniform(0, scale))
+    # cv2's MWC gaussian fill is ~3x numpy's ziggurat on one core;
+    # its stream is reseeded from `rng` per call so the chain stays
+    # deterministic per worker (sample values were never imgaug-stream
+    # reproducible anyway — see PARITY.md on augmentation RNG)
+    sigma = float(rng.uniform(0, scale))
+    cv2.setRNGSeed(int(rng.integers(0, 2**31 - 1)))
     if rng.uniform() < per_channel_p:
-        noise = rng.standard_normal(img.shape, dtype=np.float32) * sigma
+        noise = np.empty(img.shape, np.float32)
+        cv2.randn(noise, (0.0,) * img.shape[-1], (sigma,) * img.shape[-1])
     else:
-        noise = (rng.standard_normal(img.shape[:2], dtype=np.float32)
-                 * sigma)[..., None]
+        noise = np.empty(img.shape[:2], np.float32)
+        cv2.randn(noise, 0.0, sigma)
+        noise = noise[..., None]
     return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
+_IDENT_LUT = np.arange(256, dtype=np.float32)
+
+
 def add_to_hue(rng, img, rng_range=(-8, 8)):
+    """Shift the HSV hue channel. The +hue (mod 180) is applied through
+    a 3-channel LUT (identity on S/V) — one vectorized pass instead of
+    a fancy-indexed read-modify-write of the hue plane."""
     hue = rng.uniform(*rng_range)
     hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
-    if hsv.dtype.itemsize == 1:
-        hsv[..., 0] = (hsv[..., 0] + hue) % 180
-    else:
-        hsv[..., 0] = (hsv[..., 0] + 2 * hue) % 360
-    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.uint8)
+    lut = np.stack(
+        [(_IDENT_LUT + hue) % 180, _IDENT_LUT, _IDENT_LUT], -1
+    ).astype(np.uint8).reshape(256, 1, 3)
+    cv2.LUT(hsv, lut, dst=hsv)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
 
 
 def add_to_saturation(rng, img, rng_range=(-0.2, 0.2)):
+    """img*v + gray*(1-v) as ONE per-pixel 3x3 matrix pass
+    (cv2.transform, saturating to uint8): the grayscale mix is linear
+    in RGB, so the whole op folds into v*I + (1-v)*ones@w_gray."""
     value = np.float32(1 + rng.uniform(*rng_range))
-    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
-    out = img * value + (gray * (1 - value))[..., None]
-    return np.clip(out, 0, 255).astype(np.uint8)
+    w = np.array([0.299, 0.587, 0.114], np.float32)  # RGB2GRAY weights
+    m = np.eye(3, dtype=np.float32) * value + (1 - value) * np.tile(w, (3, 1))
+    return cv2.transform(img, m)
 
 
 def add_to_brightness(rng, img, rng_range=(-26, 26)):
     value = rng.uniform(*rng_range)
-    return np.clip(img.astype(np.float32) + value, 0, 255).astype(np.uint8)
+    return cv2.add(img, (value, value, value, 0))  # saturating uint8 add
 
 
 def add_to_contrast(rng, img, rng_range=(0.75, 1.25)):
+    """(img - mean)*v + mean as one saturating 3x4 affine pass;
+    cv2.mean is ~50x numpy's pairwise uint8->f32 reduction here."""
     value = np.float32(rng.uniform(*rng_range))
-    mean = img.mean(axis=(0, 1), keepdims=True, dtype=np.float32)
-    out = img * value + mean * (1 - value)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    mean = np.asarray(cv2.mean(img)[: img.shape[-1]], np.float32)
+    m = np.hstack([np.eye(3, dtype=np.float32) * value,
+                   (mean * (1 - value))[:, None]])
+    return cv2.transform(img, m)
 
 
 class TrainAugmentor:
@@ -142,14 +176,12 @@ class TrainAugmentor:
         rng = self.rng
         if self.mode == "train":
             m = self.affine.sample_matrix(rng, img.shape)
-            img = self.affine.apply(m, img)
-            if ann.ndim == 2:
-                ann = self.affine.apply(m, ann)
-            else:
-                ann = np.dstack([self.affine.apply(m, ann[..., i])
-                                 for i in range(ann.shape[-1])])
-            img = cropping_center(img, self.input_shape)
-            ann = cropping_center(ann, self.input_shape)
+            img = self.affine.apply_cropped(m, img, self.input_shape)
+            # cv2 warps <=4 interleaved channels in one call (ann is
+            # inst[, type]); reshape restores a singleton channel dim
+            # that cv2 squeezes
+            ann = self.affine.apply_cropped(m, ann, self.input_shape)\
+                .reshape(*self.input_shape, *ann.shape[2:])
             if rng.uniform() < 0.5:
                 img, ann = img[:, ::-1].copy(), ann[:, ::-1].copy()
             if rng.uniform() < 0.5:

@@ -46,13 +46,16 @@ def _load_one(path: str) -> Dict[str, np.ndarray]:
 
     img, ann = aug(img, ann)
     inst_map = ann[..., 0]
-    sample = {"img": img.astype(np.float32)}
+    # compact dtypes through worker IPC and host->HBM: uint8 img /
+    # binary np_map are 4x smaller than float32/int32; the jitted step
+    # casts on device (models/hovernet.py:139, train_parallel.py:71)
+    sample = {"img": img}
     if with_type:
         sample["tp_map"] = cropping_center(
             ann[..., 1].copy(), mask_shape
         ).astype(np.int32)
     target = gen_targets(inst_map, mask_shape)
-    sample["np_map"] = target["np_map"].astype(np.int32)
+    sample["np_map"] = target["np_map"].astype(np.uint8)
     sample["hv_map"] = target["hv_map"].astype(np.float32)
     return sample
 

@@ -122,7 +122,15 @@ class InferManagerBase:
 
 def save_json(path, inst_info, mag=None):
     """{mag, nuc: {id: {...}}} with ndarray -> list conversion
-    (infer/base.py:80-94 contract)."""
+    (infer/base.py:80-94 contract).
+
+    Entries matching the standard 5-field schema serialize through the
+    native table emitter (ops/instance_table.emit_nuc_json) — json.dump
+    of a 50k-nuclei dict costs ~5 s and would approach the whole <5 min
+    WSI budget at north-star scale; the native pass is ~10x."""
+    payload = _save_json_native(path, inst_info, mag)
+    if payload is not None:
+        return payload
     nuc = {}
     for inst_id, info in inst_info.items():
         entry = {}
@@ -132,3 +140,73 @@ def save_json(path, inst_info, mag=None):
     with open(path, "w") as f:
         json.dump({"mag": mag, "nuc": nuc}, f)
     return nuc
+
+
+_SCHEMA_KEYS = ("bbox", "centroid", "contour", "type_prob", "type")
+
+
+def _save_json_native(path, inst_info, mag):
+    """Pack the inst_info dict into flat tables and emit natively.
+    Returns the nuc dict contract value (inst_info itself — callers only
+    reuse it read-only) or None when the schema doesn't match / no
+    native library (caller falls back to json.dump)."""
+    from ..ops.instance_table import emit_nuc_json
+
+    n = len(inst_info)
+    ids = np.empty(n, np.int64)
+    bbox = np.empty((n, 4), np.int64)
+    centroid = np.empty((n, 2), np.float64)
+    lens = np.empty(n + 1, np.int64)
+    lens[0] = 0
+    contours = []
+    typed = None
+    type_ids = np.empty(n, np.int32)
+    type_probs = np.empty(n, np.float64)
+    # validate the schema on the first entry only; the tight loop below
+    # raises on any deviating entry and the caller falls back
+    for info in inst_info.values():
+        if tuple(info.keys()) != _SCHEMA_KEYS:
+            return None
+        b, c, ct = info["bbox"], info["centroid"], info["contour"]
+        if not (isinstance(b, np.ndarray) and b.shape == (2, 2)
+                and isinstance(c, np.ndarray) and c.shape == (2,)
+                and isinstance(ct, np.ndarray) and ct.ndim == 2
+                and ct.shape[1] == 2 and ct.dtype.kind in "iu"):
+            return None
+        typed = info["type"] is not None
+        break
+    try:
+        if typed:
+            for i, (inst_id, info) in enumerate(inst_info.items()):
+                ids[i] = inst_id
+                bbox[i] = info["bbox"].ravel()
+                centroid[i] = info["centroid"]
+                ct = info["contour"]
+                lens[i + 1] = len(ct)
+                contours.append(ct)
+                type_ids[i] = info["type"]
+                type_probs[i] = info["type_prob"]
+        else:
+            for i, (inst_id, info) in enumerate(inst_info.items()):
+                if info["type"] is not None:
+                    return None
+                ids[i] = inst_id
+                bbox[i] = info["bbox"].ravel()
+                centroid[i] = info["centroid"]
+                ct = info["contour"]
+                lens[i + 1] = len(ct)
+                contours.append(ct)
+    except (KeyError, TypeError, ValueError):
+        return None
+    offs = np.cumsum(lens)
+    pts = (np.concatenate(contours, axis=0) if contours
+           else np.zeros((0, 2), np.int32))
+    payload = emit_nuc_json(
+        ids, bbox, centroid, offs, pts,
+        type_ids if typed else None, type_probs if typed else None, mag,
+    )
+    if payload is None:
+        return None
+    with open(path, "wb") as f:
+        f.write(payload)
+    return inst_info

@@ -54,6 +54,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib.trace_contours.restype = ctypes.c_int64
         lib.trace_contours_coo.restype = ctypes.c_int64
         lib.fragment_labels.restype = ctypes.c_int32
+        lib.hv_targets.restype = ctypes.c_int32
+        lib.emit_nuc_json.restype = ctypes.c_int64
         _LIB = lib
         return lib
     except Exception:
@@ -230,6 +232,84 @@ def fragment_labels(ann: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, int(n)
+
+
+def hv_targets_native(ann: np.ndarray, crop_shape, min_size: int = 30):
+    """Fused native gen_instance_hv_map (ops/targets.py semantics,
+    bit-exact vs the NumPy path by construction — same float64 CoM
+    rounding, float32 divisions): fragment union-find + per-fragment
+    stats + normalized offset render in three O(area) passes.
+
+    Returns the FULL-SIZE [H, W, 2] float32 (x, y) map (caller crops),
+    or None when the native library is unavailable.
+    """
+    lib = _build_lib()
+    if lib is None:
+        return None
+    ann = np.ascontiguousarray(ann, np.int32)
+    h, w = ann.shape
+    ch, cw = crop_shape
+    cy0 = int((h - ch) * 0.5)
+    cx0 = int((w - cw) * 0.5)
+    out = np.empty((h, w, 2), np.float32)
+    out_x = np.empty((h, w), np.float32)
+    out_y = np.empty((h, w), np.float32)
+    frag = np.empty((h, w), np.int32)
+    lib.hv_targets(
+        ann.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        ctypes.c_int64(cy0), ctypes.c_int64(cy0 + ch),
+        ctypes.c_int64(cx0), ctypes.c_int64(cx0 + cw),
+        ctypes.c_int64(min_size),
+        out_x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frag.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    out[..., 0] = out_x
+    out[..., 1] = out_y
+    return out
+
+
+def emit_nuc_json(ids, bbox, centroid, contour_offs, contour_pts,
+                  type_ids, type_probs, mag) -> Optional[bytes]:
+    """Serialize the {"mag", "nuc"} instance payload from flat tables in
+    one native pass (~10x CPython's tolist + json.dump at WSI scale).
+    Returns the utf-8 payload, or None when the native library is
+    unavailable. Arrays must follow the emit_nuc_json C contract."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    import json as _json
+
+    n = int(ids.shape[0])
+    ids = np.ascontiguousarray(ids, np.int64)
+    bbox = np.ascontiguousarray(bbox, np.int64)
+    centroid = np.ascontiguousarray(centroid, np.float64)
+    contour_offs = np.ascontiguousarray(contour_offs, np.int64)
+    contour_pts = np.ascontiguousarray(contour_pts, np.int32)
+    if type_ids is not None:
+        type_ids = np.ascontiguousarray(type_ids, np.int32)
+        type_probs = np.ascontiguousarray(type_probs, np.float64)
+        tptr = type_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        pptr = type_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        tptr = pptr = None
+    mag_json = _json.dumps(mag).encode()
+    cap = 256 * max(n, 1) + 16 * int(contour_pts.shape[0]) * 2 + 1024
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        r = lib.emit_nuc_json(
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+            bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            centroid.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            contour_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            contour_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tptr, pptr, mag_json, buf, ctypes.c_int64(cap),
+        )
+        if r >= 0:
+            return buf.raw[:r]
+        cap *= 4
 
 
 def apply_lut(labels: np.ndarray, lut: np.ndarray) -> np.ndarray:

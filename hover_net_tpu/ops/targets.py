@@ -77,14 +77,19 @@ def fix_mirror_padding(ann):
 
     orig_id = np.zeros(n_frag, flat.dtype)
     orig_id[frag] = flat[fg_idx]
-    first_pix = np.full(n_frag, n, np.int64)
-    np.minimum.at(first_pix, frag, fg_idx)
 
     # per-original-id fragment counts; ids with a single fragment keep it
-    uniq_ids, id_pos = np.unique(orig_id, return_inverse=True)
+    # (bincount-rank instead of np.unique: ids are small ints)
+    vmax = int(orig_id.max())
+    present = np.zeros(vmax + 1, bool)
+    present[orig_id] = True
+    rank = np.cumsum(present) - 1
+    id_pos = rank[orig_id]
     frag_count = np.bincount(id_pos)
     if frag_count.max() == 1:
         return out
+    first_pix = np.full(n_frag, n, np.int64)
+    np.minimum.at(first_pix, frag, fg_idx)
 
     new_of_frag = orig_id.astype(np.int64).copy()
     running = int(ann.max())
@@ -105,6 +110,16 @@ def gen_instance_hv_map(ann, crop_shape):
     """
     ann = np.asarray(ann)
     hgt, wdt = ann.shape[:2]
+
+    from .instance_table import hv_targets_native
+
+    native = hv_targets_native(ann, crop_shape)
+    if native is not None:
+        # fused C++ pass (bit-exact vs the path below — oracle-pinned
+        # by tests/test_targets.py); this NumPy formulation remains the
+        # compiler-free fallback and test oracle
+        return native
+
     x_map = np.zeros((hgt, wdt), dtype=np.float32)
     y_map = np.zeros((hgt, wdt), dtype=np.float32)
 
@@ -118,7 +133,13 @@ def gen_instance_hv_map(ann, crop_shape):
     if ys.size == 0:
         return np.dstack([x_map, y_map])
     vals = fixed_ann[ys, xs]
-    uniq, lab = np.unique(vals, return_inverse=True)  # lab: 0..K-1
+    # bincount-rank "unique": ids are small ints, so presence-scatter +
+    # prefix sum beats the O(n log n) sort of np.unique ~4x here
+    vmax = int(vals.max())
+    present = np.zeros(vmax + 1, bool)
+    present[vals] = True
+    uniq = np.flatnonzero(present)
+    lab = (np.cumsum(present) - 1)[vals]  # lab: 0..K-1
     k = uniq.size
 
     cnt = np.bincount(lab, minlength=k)
@@ -140,8 +161,11 @@ def gen_instance_hv_map(ann, crop_shape):
     cmin_e = np.maximum(cmin - 2, 0)
     cmax_e = np.minimum(cmax + 1 + 2, wdt)
 
-    surv_ids = np.unique(crop_ann)
-    surv = np.isin(uniq, surv_ids[surv_ids != 0])
+    cmax = int(crop_ann.max())
+    surv_present = np.zeros(cmax + 1, bool)
+    surv_present[crop_ann.ravel()] = True
+    surv_present[0] = False
+    surv = (uniq <= cmax) & surv_present[np.minimum(uniq, cmax)]
     ok = surv & (rmax_e - rmin_e >= 2) & (cmax_e - cmin_e >= 2)
 
     # center of mass in expanded-bbox coordinates, rounded half-up —

@@ -10,7 +10,10 @@
 // Labels must be contiguous 1..n_labels (remap first). Type histogram
 // is optional (pass nullptr).
 
+#include <charconv>
+#include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -394,6 +397,202 @@ int32_t fragment_labels(const int32_t* ann, int64_t h, int64_t w,
         else out[i] = out[r];
     }
     return next;
+}
+
+// Fused HV-target generation (gen_instance_hv_map semantics,
+// hover_net_tpu/ops/targets.py — itself pinned bit-exactly against a
+// transcription of reference models/hovernet/targets.py:17-96).
+// Three O(area) passes: (1) fragment_labels union-find (the
+// fix_mirror_padding partition — renumbering VALUES never escape
+// target gen, only the partition matters), (2) per-fragment stats
+// (count / sum_y / sum_x / bbox / pixel count inside the center-crop
+// window), (3) render the normalized x/y offset maps. Rounding is kept
+// bit-identical to the NumPy path: center-of-mass uses float64
+// `floor(A/c + 0.5)`, offsets and denominators divide in float32.
+//
+// ann:   [h, w] int32 (original instance ids, 0 background)
+// crop:  cy0/cy1/cx0/cx1 — the survivor-counting center-crop window
+// out_x, out_y: [h, w] float32 (caller-allocated; overwritten)
+// frag:  [h, w] int32 scratch (fragment map, reusable by the caller)
+// Returns the fragment count F (>= 0; never fails).
+int32_t hv_targets(const int32_t* ann, int64_t h, int64_t w,
+                   int64_t cy0, int64_t cy1, int64_t cx0, int64_t cx1,
+                   int64_t min_size, float* out_x, float* out_y,
+                   int32_t* frag) {
+    const int64_t n = h * w;
+    int32_t nf = fragment_labels(ann, h, w, frag);
+    std::memset(out_x, 0, sizeof(float) * (size_t)n);
+    std::memset(out_y, 0, sizeof(float) * (size_t)n);
+    if (nf == 0) return 0;
+
+    std::vector<int64_t> cnt((size_t)nf + 1, 0), sum_y((size_t)nf + 1, 0),
+        sum_x((size_t)nf + 1, 0), crop_cnt((size_t)nf + 1, 0);
+    std::vector<int64_t> rmin((size_t)nf + 1, h), rmax((size_t)nf + 1, -1),
+        cmin((size_t)nf + 1, w), cmax((size_t)nf + 1, -1);
+
+    for (int64_t y = 0; y < h; ++y) {
+        const int32_t* row = frag + y * w;
+        const bool in_rows = (y >= cy0 && y < cy1);
+        for (int64_t x = 0; x < w; ++x) {
+            int32_t f = row[x];
+            if (f == 0) continue;
+            cnt[f] += 1;
+            sum_y[f] += y;
+            sum_x[f] += x;
+            if (y < rmin[f]) rmin[f] = y;
+            if (y > rmax[f]) rmax[f] = y;
+            if (x < cmin[f]) cmin[f] = x;
+            if (x > cmax[f]) cmax[f] = x;
+            if (in_rows && x >= cx0 && x < cx1) crop_cnt[f] += 1;
+        }
+    }
+
+    // per-fragment anchor / denominators / keep mask
+    std::vector<float> anchor_y((size_t)nf + 1), anchor_x((size_t)nf + 1),
+        dn_y((size_t)nf + 1), dp_y((size_t)nf + 1), dn_x((size_t)nf + 1),
+        dp_x((size_t)nf + 1);
+    std::vector<uint8_t> ok((size_t)nf + 1, 0);
+    for (int32_t f = 1; f <= nf; ++f) {
+        int64_t rmin_e = rmin[f] - 2 > 0 ? rmin[f] - 2 : 0;
+        int64_t rmax_e = rmax[f] + 3 < h ? rmax[f] + 3 : h;
+        int64_t cmin_e = cmin[f] - 2 > 0 ? cmin[f] - 2 : 0;
+        int64_t cmax_e = cmax[f] + 3 < w ? cmax[f] + 3 : w;
+        if (crop_cnt[f] < min_size || rmax_e - rmin_e < 2 ||
+            cmax_e - cmin_e < 2)
+            continue;
+        ok[f] = 1;
+        // float64 floor(A/c + 0.5), exactly like the NumPy path
+        double icom_y = std::floor(
+            (double)(sum_y[f] - cnt[f] * rmin_e) / (double)cnt[f] + 0.5);
+        double icom_x = std::floor(
+            (double)(sum_x[f] - cnt[f] * cmin_e) / (double)cnt[f] + 0.5);
+        int64_t ay = rmin_e + (int64_t)icom_y - 1;
+        int64_t ax = cmin_e + (int64_t)icom_x - 1;
+        anchor_y[f] = (float)ay;
+        anchor_x[f] = (float)ax;
+        float neg_y = (float)(rmin[f] - ay), pos_y = (float)(rmax[f] - ay);
+        float neg_x = (float)(cmin[f] - ax), pos_x = (float)(cmax[f] - ax);
+        dn_y[f] = neg_y < 0.f ? -neg_y : 1.f;
+        dp_y[f] = pos_y > 0.f ? pos_y : 1.f;
+        dn_x[f] = neg_x < 0.f ? -neg_x : 1.f;
+        dp_x[f] = pos_x > 0.f ? pos_x : 1.f;
+    }
+
+    for (int64_t y = 0; y < h; ++y) {
+        const int32_t* row = frag + y * w;
+        float* ox = out_x + y * w;
+        float* oy = out_y + y * w;
+        for (int64_t x = 0; x < w; ++x) {
+            int32_t f = row[x];
+            if (f == 0 || !ok[f]) continue;
+            float yo = (float)y - anchor_y[f];
+            float xo = (float)x - anchor_x[f];
+            oy[x] = yo < 0.f ? yo / dn_y[f] : (yo > 0.f ? yo / dp_y[f] : 0.f);
+            ox[x] = xo < 0.f ? xo / dn_x[f] : (xo > 0.f ? xo / dp_x[f] : 0.f);
+        }
+    }
+    return nf;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JSON emission for the standard instance-info payload.
+//
+// json.dump of a 50k-nuclei WSI dict costs ~5 s in CPython (ndarray ->
+// tolist -> serializer); at the 100k x 80k north-star scale (1-2M
+// nuclei) that alone would approach the whole <5 min budget. This
+// emits the exact {"<id>": {bbox, centroid, contour, type_prob, type}}
+// schema (infer/base.py save_json contract, reference infer/base.py:
+// 80-94) from flat tables in one pass. Doubles print via
+// std::to_chars shortest round-trip (same digits CPython repr picks);
+// integral doubles get ".0" appended to keep json.loads returning
+// float exactly like CPython's output would.
+
+namespace {
+
+inline char* emit_double(char* p, double v) {
+    auto res = std::to_chars(p, p + 32, v);
+    char* q = res.ptr;
+    bool plain = true;
+    for (char* c = p; c < q; ++c) {
+        if (*c == '.' || *c == 'e' || *c == 'n' || *c == 'i') {
+            plain = false;
+            break;
+        }
+    }
+    if (plain) { *q++ = '.'; *q++ = '0'; }
+    return q;
+}
+
+inline char* emit_i64(char* p, int64_t v) {
+    auto res = std::to_chars(p, p + 24, v);
+    return res.ptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ids [n] int64 (emitted as object keys, in order); bbox [n,4]
+// (rmin, cmin, rmax, cmax); centroid [n,2] (x, y) float64;
+// contour_offs [n+1] int64 into contour_pts [total,2] int32 (x, y);
+// type_ids [n] int32 / type_probs [n] float64 or NULL for the untyped
+// "type": null / "type_prob": null contract. mag_json: the
+// already-serialized magnification value ("null", "40", ...).
+// Writes the full payload into out (cap bytes); returns bytes written
+// or -1 when the buffer is too small (caller retries larger).
+int64_t emit_nuc_json(const int64_t* ids, int64_t n, const int64_t* bbox,
+                      const double* centroid, const int64_t* contour_offs,
+                      const int32_t* contour_pts, const int32_t* type_ids,
+                      const double* type_probs, const char* mag_json,
+                      char* out, int64_t cap) {
+    char* p = out;
+    char* end = out + cap;
+    // worst-case bytes for one instance, excluding its contour points
+    const int64_t fixed_worst = 256;
+
+    auto room = [&](int64_t need) { return end - p >= need; };
+
+    if (!room((int64_t)std::strlen(mag_json) + 32)) return -1;
+    p += std::snprintf(p, (size_t)(end - p), "{\"mag\": %s, \"nuc\": {",
+                       mag_json);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t npts = contour_offs[i + 1] - contour_offs[i];
+        if (!room(fixed_worst + npts * 16)) return -1;
+        if (i) { *p++ = ','; *p++ = ' '; }
+        *p++ = '"';
+        p = emit_i64(p, ids[i]);
+        *p++ = '"'; *p++ = ':'; *p++ = ' ';
+        std::memcpy(p, "{\"bbox\": [[", 11); p += 11;
+        p = emit_i64(p, bbox[i * 4 + 0]); *p++ = ','; *p++ = ' ';
+        p = emit_i64(p, bbox[i * 4 + 1]);
+        std::memcpy(p, "], [", 4); p += 4;
+        p = emit_i64(p, bbox[i * 4 + 2]); *p++ = ','; *p++ = ' ';
+        p = emit_i64(p, bbox[i * 4 + 3]);
+        std::memcpy(p, "]], \"centroid\": [", 17); p += 17;
+        p = emit_double(p, centroid[i * 2 + 0]); *p++ = ','; *p++ = ' ';
+        p = emit_double(p, centroid[i * 2 + 1]);
+        std::memcpy(p, "], \"contour\": [", 15); p += 15;
+        const int32_t* pts = contour_pts + contour_offs[i] * 2;
+        for (int64_t k = 0; k < npts; ++k) {
+            if (k) { *p++ = ','; *p++ = ' '; }
+            *p++ = '[';
+            p = emit_i64(p, pts[k * 2 + 0]); *p++ = ','; *p++ = ' ';
+            p = emit_i64(p, pts[k * 2 + 1]);
+            *p++ = ']';
+        }
+        std::memcpy(p, "], \"type_prob\": ", 16); p += 16;
+        if (type_probs) p = emit_double(p, type_probs[i]);
+        else { std::memcpy(p, "null", 4); p += 4; }
+        std::memcpy(p, ", \"type\": ", 10); p += 10;
+        if (type_ids) p = emit_i64(p, (int64_t)type_ids[i]);
+        else { std::memcpy(p, "null", 4); p += 4; }
+        *p++ = '}';
+    }
+    if (!room(4)) return -1;
+    *p++ = '}'; *p++ = '}';
+    return p - out;
 }
 
 }  // extern "C"

@@ -270,3 +270,61 @@ def test_fragment_labels_matches_scipy_graph():
         it._LIB, it._LIB_FAILED = lib_state
     np.testing.assert_array_equal(native, fallback)
     assert native.max() > ann.max()  # fragments actually split
+
+
+def test_native_json_emitter_matches_json_dump():
+    """save_json's native table emitter must produce a payload that
+    parses identically to CPython's tolist + json.dump (the reference
+    infer/base.py:80-94 contract), for typed and untyped runs."""
+    import json
+    import os
+    import tempfile
+
+    import hover_net_tpu.ops.instance_table as it
+    from hover_net_tpu.infer import base
+
+    if it._build_lib() is None:
+        pytest.skip("no native compiler")
+
+    rng = np.random.default_rng(11)
+
+    def make_info(n, typed):
+        out = {}
+        for i in range(1, n + 1):
+            k = int(rng.integers(3, 20))
+            info = {
+                "bbox": np.array([[int(rng.integers(0, 9999)), 7],
+                                  [88, 99]]),
+                "centroid": rng.uniform(0, 99999, 2),
+                "contour": rng.integers(0, 99999, (k, 2)).astype(np.int32),
+                "type_prob": None,
+                "type": None,
+            }
+            if typed:
+                info["type"] = int(rng.integers(0, 6))
+                info["type_prob"] = float(rng.uniform())
+            out[i] = info
+        return out
+
+    for typed, mag in ((False, None), (True, 40)):
+        info = make_info(150, typed)
+        p_nat = os.path.join(tempfile.mkdtemp(), "a.json")
+        p_ref = p_nat + ".ref"
+        assert base._save_json_native(p_nat, info, mag) is not None
+        nuc = {
+            int(i): {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                     for k, v in inf.items()}
+            for i, inf in info.items()
+        }
+        with open(p_ref, "w") as f:
+            json.dump({"mag": mag, "nuc": nuc}, f)
+        with open(p_nat) as f1, open(p_ref) as f2:
+            assert json.load(f1) == json.load(f2)
+
+    # a mixed typed/None dict must fall back to json.dump, not crash
+    info = make_info(10, True)
+    info[3]["type"] = None
+    p = os.path.join(tempfile.mkdtemp(), "c.json")
+    base.save_json(p, info, 40)
+    with open(p) as f:
+        assert json.load(f)["nuc"]["3"]["type"] is None

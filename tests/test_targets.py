@@ -186,3 +186,31 @@ def test_vectorized_matches_oracle_edge_cases():
             fix_mirror_padding(ann), _oracle_fix_mirror_padding(ann))
         np.testing.assert_array_equal(
             gen_instance_hv_map(ann, (32, 32)), _oracle_hv_map(ann, (32, 32)))
+
+
+def test_native_hv_targets_matches_numpy_path():
+    """The fused C++ pass (instance_table.cpp hv_targets) must be
+    bit-identical to the NumPy formulation it replaces on the loader
+    hot path (same float64 CoM rounding, float32 divisions)."""
+    import hover_net_tpu.ops.instance_table as IT
+    from hover_net_tpu.ops.instance_table import hv_targets_native
+
+    if IT._build_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        mirror = trial % 2 == 1
+        ann = _random_blob_ann(rng, n_inst=int(rng.integers(1, 25)),
+                               mirror=mirror)
+        if trial % 4 == 0:
+            ann[1:3, 1:2] = ann.max() + 1  # 2 px instance
+        got = hv_targets_native(ann, (64, 64))
+        orig = IT.hv_targets_native
+        IT.hv_targets_native = lambda *a, **k: None
+        try:
+            want = gen_instance_hv_map(ann, (64, 64))
+        finally:
+            IT.hv_targets_native = orig
+        np.testing.assert_array_equal(got, want)
