@@ -108,7 +108,19 @@ def _train_e2e_checkpoint(steps=400, batch=8, seed=0):
 
 
 def bench_e2e_real_content(size=1000, iters=8):
-    """Tiles/s of the true production path on the forward's own output."""
+    """Tiles/s of the true production path on the forward's own output.
+
+    CLI-true semantics: every per-image step of `run_infer tile
+    --save_format json` (the documented high-throughput config) is
+    executed — finalize from the device tables (no dense-map pull, the
+    CLI's json mode never pulls it) AND the per-nucleus json write via
+    `_save_outputs`. Only the input differs: images are fed pre-decoded
+    from memory (the CLI reads files; the reference likewise batches
+    RAM-cached images, infer/tile.py:236-282 — png decode is input I/O,
+    not pipeline work)."""
+    import shutil
+    import tempfile
+
     import jax.numpy as jnp
 
     from hover_net_tpu.infer.tile import TileInferManager
@@ -127,32 +139,114 @@ def bench_e2e_real_content(size=1000, iters=8):
     _, _, info = mgr.finalize_prediction(img, mgr.predict_image_async(img))
     n_inst = len(info)
 
-    # pull_pred_map=False matches the default CLI run (the raw f32 map
-    # only crosses the link under --save_raw_map). Best of 3 reps: the
-    # remote tunnel's transfer rate swings several-fold minute to
-    # minute; the best rep is the one that reflects the pipeline. The
-    # median is reported alongside so cross-round comparisons aren't at
-    # the mercy of one lucky rep (methodology tag: see E2E_METHOD).
+    out_dir = tempfile.mkdtemp(prefix="hnt_bench_")
+    os.makedirs(f"{out_dir}/json", exist_ok=True)
+
+    def finalize(k, dev_out):
+        pred_map, inst_map, inst_info = mgr.finalize_prediction(
+            img, dev_out, pull_pred_map=False, pull_inst_map=False)
+        mgr._save_outputs(f"t{k}", img, pred_map, inst_map, inst_info,
+                          out_dir, save_format="json")
+
+    # Best of 3 reps: the remote tunnel's transfer rate swings
+    # several-fold minute to minute; the best rep is the one that
+    # reflects the pipeline. The median is reported alongside so
+    # cross-round comparisons aren't at the mercy of one lucky rep
+    # (methodology tag: see e2e_method in the output json).
     rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pending = []
-        for _ in range(iters):
-            pending.append(mgr.predict_image_async(img))
-            # 3-deep pipeline: the device tables arrive async, so the
-            # finalize is host-light and the limiter is dispatch/launch
-            # latency — keep enough tiles in flight to hide it
-            if len(pending) >= 3:
-                mgr.finalize_prediction(img, pending.pop(0),
-                                        pull_pred_map=False,
-                                        pull_inst_map=False)
-        while pending:
-            mgr.finalize_prediction(img, pending.pop(0),
-                                    pull_pred_map=False,
-                                    pull_inst_map=False)
-        rates.append(iters / (time.perf_counter() - t0))
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pending = []
+            for i in range(iters):
+                pending.append((i, mgr.predict_image_async(img)))
+                # 3-deep pipeline: the device tables arrive async, so
+                # the finalize is host-light and the limiter is
+                # dispatch/launch latency — keep enough tiles in
+                # flight to hide it (process_file_list does the same)
+                if len(pending) >= 3:
+                    finalize(*pending.pop(0))
+            while pending:
+                finalize(*pending.pop(0))
+            rates.append(iters / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     rates.sort()
-    return rates[-1], rates[len(rates) // 2], n_inst
+    return rates[-1], rates[len(rates) // 2], n_inst, mgr
+
+
+def bench_device_time(mgr, size=1000):
+    """Tunnel-insensitive device ms/tile of the FUSED production tile
+    program (the same compiled pipeline the e2e metric dispatches),
+    via K-iteration lax.scan deltas: wall-clocking t(K_hi) - t(K_lo)
+    cancels dispatch latency, host->device transfer, and link weather —
+    only device execution time remains. Returns (device_ms_per_tile,
+    forward_flops) (flops from XLA cost analysis, for the MFU readout).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hover_net_tpu.data.tiling import (bucket_grid_dim,
+                                           prepare_tile_patching)
+
+    win = mgr.patch_input_shape
+    step = mgr.patch_output_shape
+    pads, coords, grid = prepare_tile_patching((size, size), win, step)
+    rows, cols = bucket_grid_dim(grid[0]), bucket_grid_dim(grid[1])
+    run = mgr._pipeline_for((rows, cols))
+    canvas = rows * step + (win - step)
+    rng = np.random.default_rng(0)
+    img, _ = synth_nuclei_image(canvas, canvas, seed=7)
+    ys = np.arange(0, rows * step, step, dtype=np.int32)
+    xs = np.arange(0, cols * step, step, dtype=np.int32)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    coords_dev = jnp.asarray(
+        np.stack([yy.ravel(), xx.ravel()], axis=-1), jnp.int32)
+    src_hw = jnp.asarray([size, size], jnp.int32)
+    variables = mgr.variables
+
+    def body(c, _):
+        full, inst, n_labels, tp, tables = run(
+            variables, c.astype(jnp.uint8), coords_dev, src_hw)
+        s = (n_labels.astype(jnp.float32) * 1e-20
+             + jnp.sum(tables["stats"][:4].astype(jnp.float32)) * 1e-25
+             + full[0, 0, 0] * 1e-25)
+        return jax.lax.optimization_barrier(c + s), s
+
+    def run_k(k):
+        @jax.jit
+        def f(c):
+            c, ys = jax.lax.scan(body, c, None, length=k)
+            return jnp.sum(ys)
+
+        return f
+
+    x = jnp.asarray(img, jnp.float32)
+    k_lo, k_hi = 2, 8
+    f_lo, f_hi = run_k(k_lo), run_k(k_hi)
+    jax.block_until_ready(f_lo(x))
+    jax.block_until_ready(f_hi(x))
+
+    def t_once(f):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        return time.perf_counter() - t0
+
+    t_lo = min(t_once(f_lo) for _ in range(3))
+    t_hi = min(t_once(f_hi) for _ in range(3))
+    ms = (t_hi - t_lo) / (k_hi - k_lo) * 1000.0
+
+    flops = 0.0
+    try:
+        fwd = jax.jit(lambda c: run.forward_stitch(
+            variables, c.astype(jnp.uint8), coords_dev))
+        ca = fwd.lower(x).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception as exc:
+        print(f"# cost_analysis failed: {exc!r}")
+    return ms, flops
 
 
 def synth_pred_map(h, w, n_nuclei=1200, seed=0):
@@ -273,10 +367,17 @@ def main():
         tiles_per_sec = max(tiles_per_sec, iters / dt)
 
     try:
-        e2e_rate, e2e_median, e2e_n = bench_e2e_real_content()
+        e2e_rate, e2e_median, e2e_n, e2e_mgr = bench_e2e_real_content()
     except Exception as exc:  # never let the honest path sink the bench
         print(f"# e2e_real_content failed: {exc!r}")
-        e2e_rate, e2e_median, e2e_n = None, None, None
+        e2e_rate, e2e_median, e2e_n, e2e_mgr = None, None, None, None
+
+    dev_ms = fwd_flops = None
+    if e2e_mgr is not None:
+        try:
+            dev_ms, fwd_flops = bench_device_time(e2e_mgr)
+        except Exception as exc:
+            print(f"# bench_device_time failed: {exc!r}")
 
     out = {
         "metric": "1kx1k_tiles_per_sec_per_chip",
@@ -288,10 +389,22 @@ def main():
         out["e2e_real_content"] = round(e2e_rate, 4)
         out["e2e_real_content_median"] = round(e2e_median, 4)
         out["e2e_n_instances"] = e2e_n
-        # methodology tag: since round 2 the e2e metric excludes the
-        # raw-pred-map pull (matches the default CLI) and reports
-        # best + median of 3 reps; not comparable with round-1 numbers
-        out["e2e_method"] = "no-predmap-pull/best+median-of-3"
+        # methodology tag: round 4 made the e2e metric CLI-true — it
+        # executes every per-image step of `run_infer tile
+        # --save_format json` including the json writes (rounds 2-3
+        # skipped output writing); best + median of 3 reps as before
+        out["e2e_method"] = "json-cli-true/best+median-of-3"
+    if dev_ms is not None:
+        # link-insensitive readouts (lax.scan K-deltas inside one
+        # dispatch): cross-round perf comparisons should use THESE —
+        # the wall-clock rates above ride the remote tunnel's weather
+        out["device_ms_per_tile"] = round(dev_ms, 2)
+        out["device_tiles_per_sec_ceiling"] = round(1000.0 / dev_ms, 4)
+        if fwd_flops:
+            # whole-pipeline MFU: the forward's useful flops over the
+            # tile's TOTAL device time (v5e peak 394 Tflops bf16)
+            out["pipeline_mfu_pct"] = round(
+                fwd_flops / (dev_ms / 1000.0) / 394e12 * 100.0, 2)
     print(json.dumps(out))
 
 

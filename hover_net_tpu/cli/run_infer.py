@@ -54,6 +54,14 @@ def build_parser():
     tile.add_argument("--draw_dot", action="store_true")
     tile.add_argument("--save_qupath", action="store_true")
     tile.add_argument("--save_raw_map", action="store_true")
+    tile.add_argument("--save_format", default="all",
+                      choices=["all", "json"],
+                      help="'all' writes the full reference contract "
+                           "(mat/overlay/json); 'json' writes only the "
+                           "per-nucleus json (+qupath if requested) — "
+                           "skips the dense instance-map device->host "
+                           "pull and the mat/overlay encodes (the "
+                           "high-throughput production config)")
 
     wsi = sub.add_parser("wsi")
     wsi.add_argument("--input_dir", required=True)
@@ -105,6 +113,7 @@ def main(argv=None):
             mgr.process_file_list(
                 args.input_dir, args.output_dir, draw_dot=args.draw_dot,
                 save_qupath=args.save_qupath, save_raw_map=args.save_raw_map,
+                save_format=args.save_format,
             )
         else:
             from ..infer.wsi import WSIInferManager

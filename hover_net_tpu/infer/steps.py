@@ -214,6 +214,7 @@ def make_tile_pipeline(model: HoVerNet, grid, src_hw=None, batch: int = 0):
         inst, n_labels, tp_map, tables = tail(full, inst_b)
         return full, inst[0], n_labels, tp_map, tables
 
+    run_dynamic.forward_stitch = forward_stitch  # probe hook (bench.py)
     return run_dynamic
 
 

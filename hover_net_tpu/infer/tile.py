@@ -290,27 +290,29 @@ class TileInferManager(base.InferManagerBase):
 
     def _save_outputs(self, name, img, pred_map, inst_map, inst_info,
                       output_dir, draw_dot=False, save_qupath=False,
-                      save_raw_map=False):
+                      save_raw_map=False, save_format="all"):
         nuc_vals = list(inst_info.values())
-        mat = {
-            "inst_map": inst_map,
-            "inst_uid": np.array(list(inst_info.keys()))[:, None],
-            "inst_centroid": np.array([v["centroid"] for v in nuc_vals])
-            if nuc_vals else np.zeros((0, 2)),
-        }
-        if self.nr_types is not None:
-            mat["inst_type"] = np.array([v["type"] for v in nuc_vals])[:, None] \
-                if nuc_vals else np.zeros((0, 1), np.int32)
-        if save_raw_map:
-            mat["raw_map"] = pred_map
-        sio.savemat(f"{output_dir}/mat/{name}.mat", mat)
+        if save_format == "all":
+            mat = {
+                "inst_map": inst_map,
+                "inst_uid": np.array(list(inst_info.keys()))[:, None],
+                "inst_centroid": np.array([v["centroid"] for v in nuc_vals])
+                if nuc_vals else np.zeros((0, 2)),
+            }
+            if self.nr_types is not None:
+                mat["inst_type"] = (
+                    np.array([v["type"] for v in nuc_vals])[:, None]
+                    if nuc_vals else np.zeros((0, 1), np.int32))
+            if save_raw_map:
+                mat["raw_map"] = pred_map
+            sio.savemat(f"{output_dir}/mat/{name}.mat", mat)
 
-        overlaid = overlay_instances(
-            img, inst_info, draw_dot=draw_dot, type_colour=self.type_info,
-            line_thickness=2,
-        )
-        cv2.imwrite(f"{output_dir}/overlay/{name}.png",
-                    cv2.cvtColor(overlaid, cv2.COLOR_RGB2BGR))
+            overlaid = overlay_instances(
+                img, inst_info, draw_dot=draw_dot,
+                type_colour=self.type_info, line_thickness=2,
+            )
+            cv2.imwrite(f"{output_dir}/overlay/{name}.png",
+                        cv2.cvtColor(overlaid, cv2.COLOR_RGB2BGR))
 
         if save_qupath:
             # header-only tsv for 0 nuclei, like the reference's
@@ -326,12 +328,25 @@ class TileInferManager(base.InferManagerBase):
     # ------------------------------------------------------------- run
 
     def process_file_list(self, input_dir, output_dir, draw_dot=False,
-                          save_qupath=False, save_raw_map=False):
+                          save_qupath=False, save_raw_map=False,
+                          save_format="all"):
+        """save_format: "all" writes the full reference contract
+        (mat/overlay/json[/qupath], infer/tile.py:170-212). "json"
+        writes json[/qupath] only — the per-nucleus dict is assembled
+        purely from the device tables, so the dense instance map never
+        crosses the link (the documented high-throughput config; this
+        is what bench.py's e2e metric times)."""
         pattern = re.sub(r"([\[\]])", "[\\1]", f"{input_dir}/*")
         files = sorted(glob.glob(pattern))
         assert files, f"no input files found in {input_dir}"
 
-        for sub in ("json", "mat", "overlay") + (("qupath",) if save_qupath else ()):
+        if save_format == "json" and save_raw_map:
+            logger.warning("--save_raw_map is a mat-file field; ignored "
+                           "with --save_format json")
+            save_raw_map = False
+        subs = (("json", "mat", "overlay") if save_format == "all"
+                else ("json",))
+        for sub in subs + (("qupath",) if save_qupath else ()):
             _rm_n_mkdir(f"{output_dir}/{sub}")
 
         # software pipeline: dispatch image k+1's device work before
@@ -349,7 +364,8 @@ class TileInferManager(base.InferManagerBase):
                         pred_map, inst_map, inst_info = self.predict_image(img)
                         self._save_outputs(name, img, pred_map, inst_map,
                                            inst_info, output_dir, draw_dot,
-                                           save_qupath, save_raw_map)
+                                           save_qupath, save_raw_map,
+                                           save_format)
                         logger.info("done %s (%d nuclei, %.2fs)", name,
                                     len(inst_info), time.perf_counter() - t0)
                         continue
@@ -361,11 +377,13 @@ class TileInferManager(base.InferManagerBase):
                 name, img, dev_out, t0 = pending.pop(0)
                 try:
                     pred_map, inst_map, inst_info = self.finalize_prediction(
-                        img, dev_out, pull_pred_map=save_raw_map
+                        img, dev_out, pull_pred_map=save_raw_map,
+                        pull_inst_map=(save_format == "all"),
                     )
                     self._save_outputs(name, img, pred_map, inst_map,
                                        inst_info, output_dir, draw_dot,
-                                       save_qupath, save_raw_map)
+                                       save_qupath, save_raw_map,
+                                       save_format)
                     logger.info("done %s (%d nuclei, %.2fs)", name,
                                 len(inst_info), time.perf_counter() - t0)
                 except Exception:

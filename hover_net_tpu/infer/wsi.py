@@ -106,11 +106,21 @@ class WSIInferManager(base.InferManagerBase):
     _mask_integral = None
     _pred_dev_mode = False
     _pred_dev = None
+    # seam-guard escalation: after this many per-window exact re-solves
+    # in one slide (a degenerate prediction tripping the guard
+    # everywhere — giant merged blobs), stop paying blocked+exact twice
+    # per window and flip the rest of the slide's post-proc to the
+    # exact scan path directly (bounds the worst case at the exact
+    # path's ~2x instead of an unbounded serial re-solve tail)
+    _SEAM_REFINE_CAP = 16
+    _seam_refines = 0
+    _force_exact = False
 
     def __init__(self, *args, chunk_shape=10000, tile_shape=2048,
                  ambiguous_size=128, proc_mag=40, cache_path="cache",
                  n_devices: int = 1, pred_map_dtype="float16",
-                 hbm_pred_budget: int = 4 << 30, **kwargs):
+                 hbm_pred_budget: int = 4 << 30,
+                 force_mesh: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.chunk_shape = int(chunk_shape)
         self.tile_shape = int(tile_shape)
@@ -141,7 +151,12 @@ class WSIInferManager(base.InferManagerBase):
         # reference scaling its batch by GPU count, infer/base.py:69-70).
         # n_devices == 1 keeps the exact single-chip programs.
         n = max(1, min(int(n_devices), len(jax.devices())))
-        self.mesh = make_mesh(n) if n > 1 else None
+        # force_mesh builds the mesh (and thus the striped-buffer /
+        # collective code paths) even at n == 1 — for pricing the
+        # striping machinery's overhead against the plain single-chip
+        # programs on one real chip (scripts/bench_wsi.py
+        # --force_striped)
+        self.mesh = make_mesh(n) if (n > 1 or force_mesh) else None
         self.n_devices = n
         self._pp_fn = None
         self._mask_integral = None
@@ -745,7 +760,7 @@ class WSIInferManager(base.InferManagerBase):
         def finalize(item):
             from ..ops.post_proc_device import seam_suspects
 
-            idxs, inst_dev, nlab_dev, geoms, tps = item
+            idxs, inst_dev, nlab_dev, geoms, tps, was_exact = item
             _warn_u16_overflow(nlab_dev)
             inst_host = np.asarray(inst_dev).astype(np.int32, copy=False)
             win_hw = inst_host.shape[1:3]
@@ -762,7 +777,7 @@ class WSIInferManager(base.InferManagerBase):
                 inst = remap_label(inst_host[k, y0:y1, x0:x1])
                 inst, inst_info = extract_instance_info(inst, tps[k])
                 tl, br = boxes[idx]
-                if inst_info:
+                if inst_info and not was_exact:
                     # seam guard: instances violating the blocked
                     # kernel's halo bound re-solve this window via the
                     # exact scan path (bboxes shifted back to window
@@ -782,6 +797,18 @@ class WSIInferManager(base.InferManagerBase):
                                                          exact=True)
                         inst, inst_info = extract_instance_info(
                             inst2, tp2)
+                        self._seam_refines += 1
+                        if (self._seam_refines >= self._SEAM_REFINE_CAP
+                                and not self._force_exact):
+                            self._force_exact = True
+                            logger.error(
+                                "seam guard tripped %d times — the "
+                                "prediction is degenerate (giant "
+                                "merged components everywhere, far "
+                                "outside the nuclei contract). "
+                                "Switching this slide's remaining "
+                                "post-proc to the exact scan path "
+                                "directly.", self._seam_refines)
                 callback(inst, inst_info, tl, br)
 
         batches = [(shape, idxs[i : i + batch])
@@ -816,6 +843,7 @@ class WSIInferManager(base.InferManagerBase):
 
         def dispatch(shape, sub, staged):
             n = len(sub)
+            was_exact = self._force_exact
             if self._pred_dev_mode:
                 starts, rel_boxes, geoms = [], [], []
                 for idx in sub:
@@ -827,7 +855,8 @@ class WSIInferManager(base.InferManagerBase):
                 if n < batch:  # repeat the last window (sliced off)
                     starts += [starts[-1]] * (batch - n)
                     rel_boxes += [rel_boxes[-1]] * (batch - n)
-                inst_dev, nlab_dev, tp_dev = self._pp_windows_fn(shape)(
+                inst_dev, nlab_dev, tp_dev = self._pp_windows_fn(
+                    shape, exact=was_exact)(
                     self._pred_dev,
                     jnp.asarray(starts, jnp.int32),
                     jnp.asarray(rel_boxes, jnp.int32),
@@ -840,7 +869,7 @@ class WSIInferManager(base.InferManagerBase):
                 wins, valids, geoms, tps = staged
                 # device_put is async: the H2D push streams while the
                 # previous batch's kernel runs
-                inst_dev, nlab_dev = self._post_proc_fn()(
+                inst_dev, nlab_dev = self._post_proc_fn(exact=was_exact)(
                     jnp.asarray(wins), jnp.asarray(valids)
                 )
                 inst_dev = inst_dev[:n]
@@ -849,7 +878,7 @@ class WSIInferManager(base.InferManagerBase):
                 inst_dev.copy_to_host_async()
             except AttributeError:
                 pass
-            return (sub, inst_dev, nlab_dev, geoms, tps)
+            return (sub, inst_dev, nlab_dev, geoms, tps, was_exact)
 
         pending = []
         from collections import deque
@@ -880,6 +909,8 @@ class WSIInferManager(base.InferManagerBase):
         ext = pathlib.Path(wsi_path).suffix
         wsi_name = pathlib.Path(wsi_path).stem
         os.makedirs(self.cache_path, exist_ok=True)
+        self._seam_refines = 0
+        self._force_exact = False
 
         start = time.perf_counter()
         self.wsi_handler = get_file_handler(wsi_path, backend=ext)
@@ -1071,3 +1102,84 @@ class WSIInferManager(base.InferManagerBase):
             finally:
                 self._pred_dev = None  # free HBM even on failure
         shutil.rmtree(self.cache_path, ignore_errors=True)
+
+
+def dryrun_striped_infer(n_devices: int) -> dict:
+    """One striped scatter + window-gather round over an n-device mesh
+    on tiny shapes — validates the multi-chip WSI inference collectives
+    (all_gather patch scatter, psum_scatter window reads, shard_map'd
+    post-proc) compile AND execute, the way dryrun_train_step does for
+    the training collectives. Driver-facing (__graft_entry__).
+
+    Returns {"n_instances": int} from the composed 3-phase run.
+    """
+    from ..data.tiling import wsi_tile_grids
+    from ..models import HoVerNetConfig
+    from ..ops.targets import gen_instance_hv_map
+    from ..parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    shape = (300, 260)
+    inst_gt = np.zeros(shape, np.int32)
+    k = 1
+    for _ in range(40):
+        cy = int(rng.integers(10, shape[0] - 10))
+        cx = int(rng.integers(10, shape[1] - 10))
+        r = int(rng.integers(4, 8))
+        yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+        m = (yy ** 2 + xx ** 2) <= r * r
+        sub = inst_gt[cy - r:cy + r + 1, cx - r:cx + r + 1]
+        sub[m & (sub == 0)] = k
+        k += 1
+    hv = gen_instance_hv_map(inst_gt, shape)
+    pred = np.dstack([(inst_gt > 0).astype(np.float32),
+                      hv[..., 0], hv[..., 1]]).astype(np.float16)
+
+    cfg = HoVerNetConfig(mode="fast", nr_types=None, width=8)
+    out_sz = cfg.patch_output_shape
+    ys = list(range(0, shape[0], out_sz))
+    xs = list(range(0, shape[1], out_sz))
+    padded = np.zeros((ys[-1] + out_sz, xs[-1] + out_sz, 3), np.float16)
+    padded[: shape[0], : shape[1]] = pred
+    coords = np.array([(y, x) for y in ys for x in xs], np.int32)
+    patches = np.stack([padded[y:y + out_sz, x:x + out_sz]
+                        for y, x in coords])
+
+    mgr = WSIInferManager.__new__(WSIInferManager)
+    mgr.cfg = cfg
+    mgr.nr_types = None
+    mgr.tile_shape = 128
+    mgr.ambiguous_size = 32
+    mgr.pred_map_dtype = np.dtype("float16")
+    mgr.mesh = make_mesh(n_devices)
+    mgr.n_devices = n_devices
+    mgr._fwd_fns = {}
+    mgr._pp_fn = None
+    mgr.wsi_proc_shape = np.array(shape)
+    mgr.wsi_mask = np.ones((30, 26), np.uint8)
+    mgr.wsi_inst_info = {}
+    mgr.wsi_inst_map = np.zeros(shape, np.int32)
+    mgr._alloc_pred_dev(3)
+    assert mgr._pred_dev_mode and mgr._stripe is not None
+
+    scatter = mgr._scatter_fn()
+    dustbin = np.array(mgr._pred_dev.shape[:2], np.int32)
+    bs = max(n_devices, 8)
+    for i in range(0, len(coords), bs):
+        sub = coords[i:i + bs]
+        outs = patches[i:i + bs]
+        if len(sub) < bs:
+            pad = bs - len(sub)
+            sub = np.concatenate([sub, np.broadcast_to(dustbin, (pad, 2))])
+            outs = np.concatenate(
+                [outs, np.zeros((pad,) + outs.shape[1:], outs.dtype)])
+        mgr._pred_dev = scatter(
+            mgr._pred_dev, jnp.asarray(outs), jnp.asarray(sub))
+
+    tg, tb, tc = wsi_tile_grids(np.array(shape), np.array([128, 128]), 32)
+    mgr._dispatch_post_processing(tg, mgr._cb_normal_tile, "p1")
+    mgr._dispatch_post_processing(tb, mgr._cb_fixing_tile, "p2")
+    mgr._dispatch_post_processing(tc, mgr._cb_fixing_tile, "p3")
+    n = len(mgr.wsi_inst_info)
+    assert n > 10, f"striped dryrun found only {n} instances"
+    return {"n_instances": n}

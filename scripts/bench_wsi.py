@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--hbm_pred_budget", type=int, default=4 << 30,
                     help="bytes of HBM for the resident pred map; "
                     "0 forces the mmap (over-HBM) path")
+    ap.add_argument("--force_striped", action="store_true",
+                    help="run the mesh-striped resident-buffer code "
+                    "path even at n_devices=1 (prices the striping "
+                    "machinery against the plain single-chip programs)")
     args = ap.parse_args()
 
     n = args.size
@@ -71,6 +75,7 @@ def main():
         proc_mag=40, cache_path=f"{args.workdir}/cache",
         n_devices=args.n_devices,
         hbm_pred_budget=args.hbm_pred_budget,
+        force_mesh=args.force_striped,
     )
     for f in (f"{out_dir}/slide.json",):
         if os.path.exists(f):
@@ -86,7 +91,8 @@ def main():
         "metric": "wsi_mpx_per_sec_per_chip",
         "value": round(mpx / dt, 4), "unit": "Mpx/s",
         "wall_s": round(dt, 1), "n_nuclei": len(nuc),
-        "path": "mmap" if args.hbm_pred_budget == 0 else "auto",
+        "path": ("striped" if args.force_striped or args.n_devices > 1
+                 else "mmap" if args.hbm_pred_budget == 0 else "auto"),
     }))
 
 

@@ -42,10 +42,14 @@ torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "models", "hovernet")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.slow,  # differential parity vs the real reference: minutes of
+    # torch forwards — run with `pytest -m slow`
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "models", "hovernet")),
+        reason="reference checkout not available",
+    ),
+]
 
 _REF_MODULES = {}
 

@@ -143,6 +143,66 @@ def test_wsi_finalize_seam_fallback(tmp_path, monkeypatch, caplog):
     assert len(info_guard) == len(info_plain)
 
 
+def test_wsi_seam_guard_escalation_cap(tmp_path, monkeypatch, caplog):
+    """When the guard trips on more windows than _SEAM_REFINE_CAP (a
+    degenerate prediction), the manager escalates: logs the degenerate-
+    prediction error once and flips the REMAINING windows to the exact
+    path directly (no more double blocked+exact solves) — and the
+    instances still match the unguarded run."""
+    from hover_net_tpu.data.tiling import wsi_tile_grids
+    from hover_net_tpu.infer.wsi import WSIInferManager
+    from hover_net_tpu.ops import post_proc_device
+
+    rng = np.random.default_rng(12)
+    shape = (300, 260)
+    inst = np.zeros(shape, np.int32)
+    yy, xx = np.mgrid[-8:9, -8:9]
+    for k in range(1, 40):
+        cy, cx = rng.integers(10, shape[0] - 10), rng.integers(10, shape[1] - 10)
+        m = (yy**2 + xx**2) <= 49
+        sub = inst[cy - 8 : cy + 9, cx - 8 : cx + 9]
+        sub[m & (sub == 0)] = k
+    hv = gen_instance_hv_map(inst, shape)
+    pred = np.dstack([(inst > 0).astype(np.float32),
+                      hv[..., 0], hv[..., 1]]).astype(np.float32)
+
+    def run(flag_all, cap):
+        if flag_all:
+            monkeypatch.setattr(
+                post_proc_device, "seam_suspects",
+                lambda bbox, h, w, geom=None: np.ones(
+                    (np.asarray(bbox).shape[0],), bool),
+            )
+        else:
+            monkeypatch.undo()
+        mgr = WSIInferManager.__new__(WSIInferManager)
+        mgr.nr_types = None
+        mgr.tile_shape = 64  # small windows -> many boxes trip the cap
+        mgr.ambiguous_size = 16
+        mgr._SEAM_REFINE_CAP = cap
+        mgr.wsi_proc_shape = np.array(shape)
+        mgr.wsi_mask = np.ones((30, 26), np.uint8)
+        mgr.wsi_inst_info = {}
+        mgr.wsi_inst_map = np.zeros(shape, np.int32)
+        mgr._pred_map_path = str(tmp_path / f"pred_{flag_all}_{cap}.npy")
+        np.save(mgr._pred_map_path, pred)
+        tg, tb, tc = wsi_tile_grids(np.array(shape), np.array([64, 64]), 16)
+        mgr._dispatch_post_processing(tg, mgr._cb_normal_tile, "p1")
+        mgr._dispatch_post_processing(tb, mgr._cb_fixing_tile, "p2")
+        mgr._dispatch_post_processing(tc, mgr._cb_fixing_tile, "p3")
+        return remap_label(mgr.wsi_inst_map), mgr.wsi_inst_info, mgr
+
+    with caplog.at_level(logging.WARNING, logger="hover_net_tpu"):
+        got_guard, info_guard, mgr_g = run(True, cap=2)
+    assert mgr_g._force_exact, "cap never escalated"
+    assert any("degenerate" in r.message for r in caplog.records)
+    # windows solved after the flip skip the guard entirely
+    assert mgr_g._seam_refines >= 2
+    got_plain, info_plain, _ = run(False, cap=2)
+    np.testing.assert_array_equal(got_guard, got_plain)
+    assert len(info_guard) == len(info_plain)
+
+
 def test_tile_finalize_seam_fallback(tmp_path, monkeypatch, caplog):
     """A flagged tile re-solves via make_pp_refine and reproduces the
     unguarded output."""

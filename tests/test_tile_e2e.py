@@ -109,6 +109,41 @@ def test_tile_pipeline_contract(tiny_checkpoint, tmp_path):
         assert ids.max() == n and len(ids) == n + 1 if n else ids.max() == 0
 
 
+def test_tile_json_only_mode(tiny_checkpoint, tmp_path):
+    """--save_format json: only json/(+qupath) written, no dense-map
+    pull, and the json payload is byte-identical to the 'all' run's."""
+    import cv2
+    import jax.numpy as jnp
+
+    from hover_net_tpu.infer.tile import TileInferManager
+
+    rng = np.random.default_rng(2)
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    img = synth_image(rng)
+    cv2.imwrite(str(in_dir / "img0.png"),
+                cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    mgr = TileInferManager(
+        model_path=tiny_checkpoint, mode="fast", nr_types=5, width=8,
+        batch_size=4, dtype=jnp.float32,
+    )
+    out_all = tmp_path / "out_all"
+    out_json = tmp_path / "out_json"
+    mgr.process_file_list(str(in_dir), str(out_all), save_qupath=True)
+    mgr.process_file_list(str(in_dir), str(out_json), save_qupath=True,
+                          save_format="json")
+
+    assert (out_json / "json" / "img0.json").exists()
+    assert (out_json / "qupath" / "img0.tsv").exists()
+    assert not (out_json / "mat").exists()
+    assert not (out_json / "overlay").exists()
+    assert (out_json / "json" / "img0.json").read_bytes() == \
+        (out_all / "json" / "img0.json").read_bytes()
+    assert (out_json / "qupath" / "img0.tsv").read_bytes() == \
+        (out_all / "qupath" / "img0.tsv").read_bytes()
+
+
 def test_canonical_grid_one_program_for_mixed_sizes(tiny_checkpoint, tmp_path):
     """A directory of heterogeneous image sizes (same canonical grid
     class) must compile exactly one pipeline, and instance maps must
