@@ -77,8 +77,14 @@ def _tables_tail(full, inst_batch, typed: bool, nr_types):
         inst[0].astype(jnp.int32), tp_map,
         coo_cap=min(1 << 16, h * w),
         nr_types=(nr_types if typed else None),
+        # untyped: skip the device's only full-pixel scatter — the
+        # host reconstructs exact sizes/centroids from boundary-run
+        # pairing over the COO (post_proc_host.sums_from_runs)
+        with_sums=typed,
     )
-    parts = [t["bbox"], t["sum_yx"], t["size"][:, None]]
+    parts = [t["bbox"]]
+    if "sum_yx" in t:
+        parts += [t["sum_yx"], t["size"][:, None]]
     if "type_hist" in t:
         parts.append(t["type_hist"])
     tables = {

@@ -225,9 +225,10 @@ class TileInferManager(base.InferManagerBase):
                 "coo_n": np.asarray(tables["coo_n"]),
                 "coo": np.asarray(tables["coo"]),
                 "bbox": stats[:, 0:4],
-                "sum_yx": stats[:, 4:6],
-                "size": stats[:, 6],
             }
+            if stats.shape[1] > 4:  # typed path packs sums + hist too
+                host_tables["sum_yx"] = stats[:, 4:6]
+                host_tables["size"] = stats[:, 6]
             if stats.shape[1] > 7:
                 host_tables["type_hist"] = stats[:, 7:]
             inst_info, lut = instance_info_from_tables(

@@ -492,7 +492,8 @@ def _shift2d(x, dy: int, dx: int, fill):
 
 
 def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
-                    stat_cap: int = 4096, nr_types=None):
+                    stat_cap: int = 4096, nr_types=None,
+                    with_sums: bool = True):
     """Fixed-capacity per-instance tables from a COMPACTED label map —
     what the host pulls instead of the full instance map (~10-30x less
     D2H): per-instance stats plus the boundary-pixel COO the native
@@ -500,6 +501,17 @@ def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
 
     lab: [H, W] int32 with contiguous labels 0..n (n <= 65535, i.e.
     compact_labels_u16 output); tp_map: [H, W] uint8/int type map.
+
+    with_sums=False drops the size/sum_yx tables: the only full-pixel
+    scatter in the tail (XLA lowers an H*W-update scatter to a sort,
+    ~20ms at 1148^2 — everything else here touches <= coo_cap
+    elements). The host reconstructs exact sizes/centroids from the
+    COO instead: horizontal run starts/ends are always boundary pixels
+    (a run's first/last pixel has a differing W/E neighbour), so
+    pairing them per (label, row) recovers every interior run
+    (ops/post_proc_host.sums_from_runs). Typed configs keep the
+    scatter — the per-pixel type histogram has no boundary-only
+    formulation.
 
     Returns dict:
       coo    [coo_cap, 2] int32 ((y<<16)|x, (label<<8)|mask8), raster
@@ -510,11 +522,14 @@ def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
       bbox   [stat_cap+1, 4] int32 (rmin, rmax_excl, cmin, cmax_excl)
       sum_yx [stat_cap+1, 2] int32 (exact for instances < ~1e6 px;
              a degenerate giant blob overflows — host falls back)
-      size   [stat_cap+1] int32
+             [with_sums only]
+      size   [stat_cap+1] int32                      [with_sums only]
       type_hist [stat_cap+1, nr_types] int32 (typed only)
     Row index = label; labels > stat_cap land in the dustbin row
     stat_cap (host falls back when n_labels > stat_cap).
     """
+    if nr_types:
+        with_sums = True  # type_hist needs the full-pixel scatter anyway
     lab = lab.astype(jnp.int32)
     h, w = lab.shape
     same = jnp.zeros((h, w), jnp.int32)
@@ -554,15 +569,17 @@ def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
     # (payload [1, y, x, onehot(type)...]) — scatter cost on TPU scales
     # with the update count (sort-based lowering), not the payload
     # width, so 1 pass beats the naive 3 + nr_types passes ~5x
-    flat = jnp.minimum(lab.ravel(), stat_cap)
-    ys, xs = yy.ravel(), xx.ravel()
-    cols = [jnp.ones_like(flat), ys, xs]
-    if nr_types:
-        t = jnp.clip(tp_map.astype(jnp.int32).ravel(), 0, nr_types - 1)
-        cols += [(t == k).astype(jnp.int32) for k in range(nr_types)]
-    payload = jnp.stack(cols, axis=-1)
-    sums = jnp.zeros((stat_cap + 1, payload.shape[1]), jnp.int32) \
-        .at[flat].add(payload)
+    sums = None
+    if with_sums:
+        flat = jnp.minimum(lab.ravel(), stat_cap)
+        ys, xs = yy.ravel(), xx.ravel()
+        cols = [jnp.ones_like(flat), ys, xs]
+        if nr_types:
+            t = jnp.clip(tp_map.astype(jnp.int32).ravel(), 0, nr_types - 1)
+            cols += [(t == k).astype(jnp.int32) for k in range(nr_types)]
+        payload = jnp.stack(cols, axis=-1)
+        sums = jnp.zeros((stat_cap + 1, payload.shape[1]), jnp.int32) \
+            .at[flat].add(payload)
 
     # bbox: an instance's row/col extremes always lie on its boundary
     # (an extreme pixel has an outside neighbour), so min/max over the
@@ -577,16 +594,21 @@ def instance_tables(lab, tp_map=None, coo_cap: int = 1 << 17,
         .at[bl].min(jnp.stack([by, bx], axis=-1))
     maxs = jnp.zeros((stat_cap + 1, 2), jnp.int32) \
         .at[bl].max(jnp.stack([by + 1, bx + 1], axis=-1))
-    rmin = jnp.where(sums[:, 0] > 0, mins[:, 0], h)
-    cmin = jnp.where(sums[:, 0] > 0, mins[:, 1], w)
+    # presence: every non-empty instance has boundary pixels, so the
+    # COO min is INT_MAX exactly on empty rows (== size 0)
+    present = (sums[:, 0] > 0) if with_sums \
+        else (mins[:, 0] != jnp.iinfo(jnp.int32).max)
+    rmin = jnp.where(present, mins[:, 0], h)
+    cmin = jnp.where(present, mins[:, 1], w)
 
     out = {
         "coo": coo,
         "coo_n": coo_n,
         "bbox": jnp.stack([rmin, maxs[:, 0], cmin, maxs[:, 1]], axis=-1),
-        "sum_yx": sums[:, 1:3],
-        "size": sums[:, 0],
     }
+    if with_sums:
+        out["sum_yx"] = sums[:, 1:3]
+        out["size"] = sums[:, 0]
     if nr_types:
         out["type_hist"] = sums[:, 3:]
     return out

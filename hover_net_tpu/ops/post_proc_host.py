@@ -182,6 +182,48 @@ def assemble_instance_info(bbox_t, centroid_t, size_t, hist_t, contours,
     return inst_info, skipped
 
 
+def sums_from_runs(yx, lm, n_labels: int):
+    """Exact per-instance size and coordinate sums from the boundary
+    COO alone — no full-pixel device scatter needed (see
+    post_proc_device.instance_tables with_sums=False).
+
+    Every horizontal run of an instance starts and ends on a boundary
+    pixel (its W/E neighbour differs), so pairing run starts with run
+    ends per (label, row) enumerates every interior run:
+    size = sum(len), sum_x = sum of arithmetic series, sum_y = y*len.
+
+    yx: [n] int32 packed (y << 16) | x; lm: [n] int32 packed
+    (label << 8) | neighbour-bitmask (bit 0 = E same, bit 4 = W same,
+    post_proc_device._DIRS8 order).
+    Returns (size [n_labels+1] int64, sum_yx [n_labels+1, 2] int64) or
+    None when the table is inconsistent (caller falls back to the
+    dense-map path)."""
+    y = (yx >> 16).astype(np.int64)
+    x = (yx & 0xFFFF).astype(np.int64)
+    lab = (lm >> 8).astype(np.int64)
+    m8 = lm & 0xFF
+    is_start = (m8 & 0x10) == 0  # W neighbour is a different label
+    is_end = (m8 & 0x01) == 0    # E neighbour is a different label
+
+    def pick(mask):
+        l, yy, xx = lab[mask], y[mask], x[mask]
+        o = np.lexsort((xx, yy, l))
+        return l[o], yy[o], xx[o]
+
+    ls, ys, xs = pick(is_start)
+    le, ye, xe = pick(is_end)
+    if (ls.shape != le.shape or np.any(ls != le) or np.any(ys != ye)
+            or np.any(xe < xs) or (ls.size and ls.max() > n_labels)):
+        return None
+    run = xe - xs + 1
+    size = np.bincount(ls, weights=run, minlength=n_labels + 1)
+    sum_y = np.bincount(ls, weights=ys * run, minlength=n_labels + 1)
+    sum_x = np.bincount(ls, weights=(xs + xe) * run // 2,
+                        minlength=n_labels + 1)
+    return (size.astype(np.int64),
+            np.stack([sum_y, sum_x], axis=1).astype(np.int64))
+
+
 def instance_info_from_tables(tables, n_labels: int, typed: bool):
     """Build the inst_info dict from DEVICE-computed tables — the full
     instance map never crosses to the host (ops/post_proc_device
@@ -197,26 +239,38 @@ def instance_info_from_tables(tables, n_labels: int, typed: bool):
 
     if n_labels == 0:
         return {}, None
-    size = np.asarray(tables["size"])
-    stat_cap = size.shape[0] - 1
+    stat_cap = np.asarray(tables["bbox"]).shape[0] - 1
     coo = np.asarray(tables["coo"])
     coo_n = int(tables["coo_n"])
     if n_labels > stat_cap or coo_n > coo.shape[0]:
         return None, None
-    # int32 y/x-coordinate sums are exact below ~1e6 px per instance;
-    # a degenerate giant blob would overflow them
-    if n_labels and int(size[1 : n_labels + 1].max()) > 400_000:
-        return None, None
 
     yx = coo[:coo_n, 0]
     lm = coo[:coo_n, 1]
+    if "size" in tables:
+        size = np.asarray(tables["size"])
+        # int32 y/x-coordinate sums are exact below ~1e6 px per
+        # instance; a degenerate giant blob would overflow them
+        if n_labels and int(size[1 : n_labels + 1].max()) > 400_000:
+            return None, None
+        size_full = size.astype(np.int64)
+        sum_full = np.asarray(tables["sum_yx"]).astype(np.int64)
+    else:
+        # size/centroid reconstructed from boundary-run pairing (the
+        # device skipped its only full-pixel scatter — int64 host
+        # sums, no overflow bound)
+        rs = sums_from_runs(yx, lm, n_labels)
+        if rs is None:
+            return None, None
+        size_full, sum_full = rs
+
     contours = trace_contours_coo(yx, lm, n_labels)
     if contours is None:
         return None, None
 
     bbox_t = np.asarray(tables["bbox"])[1 : n_labels + 1]
-    sum_yx = np.asarray(tables["sum_yx"])[1 : n_labels + 1]
-    size_t = size[1 : n_labels + 1].astype(np.int64)
+    sum_yx = sum_full[1 : n_labels + 1]
+    size_t = size_full[1 : n_labels + 1]
     with np.errstate(invalid="ignore"):
         centroid_t = np.stack(
             [sum_yx[:, 1] / np.maximum(size_t, 1),

@@ -160,8 +160,12 @@ def main():
 
     def tab_body(c):
         inst, n = compact_labels_u16(c)
+        # with_sums=False matches the untyped production tail
+        # (infer/steps._tables_tail): sizes/centroids are reconstructed
+        # on host from boundary-run pairing, no full-pixel scatter
         t = instance_tables(inst[0].astype(jnp.int32), None,
-                            coo_cap=1 << 16, nr_types=None)
+                            coo_cap=1 << 16, nr_types=None,
+                            with_sums=False)
         s = (jnp.sum(t["stats"] if "stats" in t else t["bbox"])
              % 1000).astype(jnp.float32) * 1e-20
         return c + s.astype(c.dtype), s

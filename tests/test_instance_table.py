@@ -240,6 +240,71 @@ def test_coo_tables_match_map_path(rng):
         np.testing.assert_array_equal(inst, ref_map)
 
 
+def test_untyped_tables_without_sums_match_map_path(rng):
+    """with_sums=False (the untyped production config: no full-pixel
+    device scatter) + host boundary-run reconstruction must reproduce
+    the dense-map finalization exactly — sizes, centroids, bboxes,
+    contours."""
+    import jax.numpy as jnp
+
+    from hover_net_tpu.ops.post_proc_device import instance_tables
+    from hover_net_tpu.ops.post_proc_host import (
+        extract_instance_info,
+        instance_info_from_tables,
+        sums_from_runs,
+    )
+    from hover_net_tpu.metrics import remap_label
+
+    h, w = 180, 220
+    inst = np.zeros((h, w), np.int32)
+    yy, xx = np.mgrid[-14:15, -14:15]
+    k = 1
+    for _ in range(35):
+        cy, cx = int(rng.integers(15, h - 15)), int(rng.integers(15, w - 15))
+        r = int(rng.integers(1, 13))
+        m = (yy**2 + xx**2) <= r * r
+        sub = inst[cy - 14 : cy + 15, cx - 14 : cx + 15]
+        sub[m & (sub == 0)] = k
+        k += 1
+    # a concave instance (C shape): multiple runs per row
+    inst[20:24, 5:25] = k
+    inst[24:36, 5:9] = k
+    inst[36:40, 5:25] = k
+    inst = remap_label(inst)
+    n = int(inst.max())
+
+    tables = instance_tables(jnp.asarray(inst), coo_cap=h * w,
+                             with_sums=False)
+    assert "size" not in tables and "sum_yx" not in tables
+    host_tables = {k2: np.asarray(v) for k2, v in tables.items()}
+
+    # the run reconstruction alone is pixel-exact vs bincount truth
+    coo_n = int(host_tables["coo_n"])
+    size_r, sum_r = sums_from_runs(
+        host_tables["coo"][:coo_n, 0], host_tables["coo"][:coo_n, 1], n)
+    flat = inst.ravel()
+    np.testing.assert_array_equal(
+        size_r[1:], np.bincount(flat, minlength=n + 1)[1:])
+    ys_all, xs_all = np.nonzero(inst)
+    lab_all = inst[ys_all, xs_all]
+    np.testing.assert_array_equal(
+        sum_r[1:, 0],
+        np.bincount(lab_all, weights=ys_all, minlength=n + 1)[1:])
+    np.testing.assert_array_equal(
+        sum_r[1:, 1],
+        np.bincount(lab_all, weights=xs_all, minlength=n + 1)[1:])
+
+    info_t, lut = instance_info_from_tables(host_tables, n, typed=False)
+    assert info_t is not None
+    ref_map, info_m = extract_instance_info(inst.copy(), None)
+    assert set(info_t.keys()) == set(info_m.keys())
+    for i in info_m:
+        a, b = info_m[i], info_t[i]
+        np.testing.assert_array_equal(a["contour"], b["contour"])
+        np.testing.assert_array_equal(a["bbox"], b["bbox"])
+        np.testing.assert_allclose(a["centroid"], b["centroid"], atol=1e-9)
+
+
 def test_fragment_labels_matches_scipy_graph():
     """Native union-find fragment labelling == the scipy csgraph
     formulation inside fix_mirror_padding (duplicate ids from mirrored
