@@ -308,8 +308,12 @@ def blocked_geom(h: int, w: int):
 
     halo == 0 means the whole map fits one VMEM window and the blocked
     solve is EXACT (no seams); the (8,128)-aligned core bounds the
-    padding waste. Larger maps use 256/128 (measured optimum fused into
-    the tile program) or the HNT_PP_GEOM=core,halo override."""
+    padding waste. Larger maps use 384/64 (fused-program scan-delta
+    optimum on v5e, round 4: 261.8 vs 272.1 ms/tile at 256/128 — 9
+    windows instead of 25 at 1148^2, 1.78x instead of 4x halo
+    overcompute) or the HNT_PP_GEOM=core,halo override. The 64-px halo
+    still bounds every legit nucleus at 40x; larger components trip the
+    seam guard and re-solve exactly (seam_suspects)."""
     if max(h, w) <= 512:
         return max(-(-max(h, w) // 128) * 128, 128), 0
     import os
@@ -318,7 +322,7 @@ def blocked_geom(h: int, w: int):
     if geom:
         core, halo = (int(v) for v in geom.split(","))
         return core, halo
-    return 256, 128
+    return 384, 64
 
 
 def active_blocked_geom(h: int, w: int):
@@ -340,7 +344,7 @@ def seam_suspects(bbox, h: int, w: int, geom=None):
     cut keeps a piece spanning more than `halo` past the seam (that is
     what made the other window blind). So: flag every output instance
     with extent > halo whose bbox touches or straddles a core
-    gridline. Legit nuclei at 40x are well under a 128-px halo, so in
+    gridline. Legit nuclei at 40x are well under a 64-px halo, so in
     practice this only fires on contract violations (and at worst
     re-solves a window holding a genuinely giant instance exactly).
 

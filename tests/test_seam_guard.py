@@ -28,19 +28,19 @@ from hover_net_tpu.ops.targets import gen_instance_hv_map
 
 
 def test_detector_geometry():
-    geom = (256, 128)  # the TPU default for >512 maps
+    geom = (384, 64)  # the TPU default for >512 maps
     hw = (1148, 1148)
-    # 300-px blob straddling the 256 gridline: flagged
+    # 300-px blob straddling the 384 gridline: flagged
     assert seam_suspects(np.array([[100, 400, 500, 560]]), *hw, geom=geom)[0]
     # fragment starting exactly ON the seam (the cut signature): flagged
-    assert seam_suspects(np.array([[256, 456, 500, 560]]), *hw, geom=geom)[0]
+    assert seam_suspects(np.array([[384, 584, 500, 560]]), *hw, geom=geom)[0]
     # wide variant across a column gridline
     assert seam_suspects(np.array([[500, 560, 100, 400]]), *hw, geom=geom)[0]
     # ordinary nucleus straddling a seam (extent <= halo): clean
-    assert not seam_suspects(np.array([[200, 300, 500, 560]]), *hw,
+    assert not seam_suspects(np.array([[350, 410, 500, 560]]), *hw,
                              geom=geom).any()
     # giant instance fully inside one block (no seam contact): clean
-    assert not seam_suspects(np.array([[260, 500, 260, 500]]), *hw,
+    assert not seam_suspects(np.array([[400, 700, 400, 700]]), *hw,
                              geom=geom).any()
     # geom=None outside the blocked path (CPU backend): everything clean
     assert not seam_suspects(np.array([[100, 400, 500, 560]]), *hw).any()
