@@ -1,26 +1,32 @@
 """Benchmark: 1kx1k tile instance-segmentation throughput per chip.
 
-Headline metric (proxy, stable across rounds):
-per-tile cost = device patch gather + HoVerNet forward (fast mode,
-reference width, bfloat16) + on-device stitch   [timed on real input]
-             + on-device watershed post-processing + int32 instance map
-               back to host                       [timed on a realistic
-               synthetic prediction stack — post-proc cost depends on
-               *content*, and an untrained network on noise produces
-               pathological masks no real workload resembles]
+Headline metric (round 4 onward): `e2e_real_content` median — the
+ACTUAL production CLI pipeline (`run_infer tile --save_format json`:
+TileInferManager's fused dynamic-grid executable + async instance-table
+pull + host finalization INCLUDING the per-nucleus json/qupath writes)
+on a nuclei-painted image, post-processing the forward's OWN output.
+Weights come from a width-64 checkpoint trained on synthetic nuclei on
+first run and cached under ~/.cache (training adds a few minutes once
+per machine); `e2e_n_instances` is reported so the post-proc load is
+auditable. The median of 5 reps is the headline `value` (robust to the
+remote tunnel's transfer-rate weather); the best rep is reported
+alongside.
 
-Honest end-to-end metric (`e2e_real_content`): the ACTUAL production
-pipeline (TileInferManager's fused dynamic-grid executable + host
-instance finalization) on a nuclei-painted image, post-processing the
-forward's OWN output. Weights come from a width-64 checkpoint trained
-on synthetic nuclei on first run and cached under ~/.cache (training
-adds a few minutes once per machine); `e2e_n_instances` is reported so
-the post-proc load is auditable.
+Secondary readouts in the same json line:
+- `proxy_1kx1k_tiles_per_sec`: rounds 1-3's headline (device patch
+  gather + forward + stitch on real input, watershed on a realistic
+  synthetic prediction stack, dense int32 map pulled to host). Kept for
+  cross-round continuity; it pulls a 4 MB dense map per tile so on a
+  remote tunnel it mostly measures downlink weather.
+- `device_ms_per_tile` / `device_tiles_per_sec_ceiling` /
+  `pipeline_mfu_pct`: tunnel-insensitive device-time probe of the fused
+  production program (lax.scan K-deltas) — cross-round perf comparisons
+  should use THESE.
 
-Prints ONE json line. `vs_baseline` is measured against the north-star
-rate implied by BASELINE.md (40x ~100k x 80k WSI in < 5 min on v5e-8
-=> ~3.33 Mpx/s/chip = 3.33 tiles of 1k x 1k per second per chip); the
-reference publishes no throughput numbers (BASELINE.json published: {}).
+`vs_baseline` is measured against the north-star rate implied by
+BASELINE.md (40x ~100k x 80k WSI in < 5 min on v5e-8 => ~3.33 Mpx/s/chip
+= 3.33 tiles of 1k x 1k per second per chip); the reference publishes no
+throughput numbers (BASELINE.json published: {}).
 """
 
 import json
@@ -384,21 +390,31 @@ def main():
         except Exception as exc:
             print(f"# bench_device_time failed: {exc!r}")
 
-    out = {
-        "metric": "1kx1k_tiles_per_sec_per_chip",
-        "value": round(tiles_per_sec, 4),
-        "unit": "tiles/s",
-        "vs_baseline": round(tiles_per_sec / NORTH_STAR_TILES_PER_SEC, 4),
-    }
-    if e2e_rate is not None:
-        out["e2e_real_content"] = round(e2e_rate, 4)
-        out["e2e_real_content_median"] = round(e2e_median, 4)
-        out["e2e_n_instances"] = e2e_n
-        # methodology tag: round 4 made the e2e metric CLI-true — it
-        # executes every per-image step of `run_infer tile
-        # --save_format json` including the json writes (rounds 2-3
-        # skipped output writing); best + median over 5 reps
-        out["e2e_method"] = "json-cli-true/best+median-of-5"
+    if e2e_median is not None:
+        # headline = the CLI-true production pipeline, median of 5 reps
+        out = {
+            "metric": "e2e_1kx1k_tiles_per_sec_per_chip",
+            "value": round(e2e_median, 4),
+            "unit": "tiles/s",
+            "vs_baseline": round(e2e_median / NORTH_STAR_TILES_PER_SEC, 4),
+            "e2e_real_content_best": round(e2e_rate, 4),
+            "e2e_n_instances": e2e_n,
+            # methodology tag: round 4 made the e2e metric CLI-true — it
+            # executes every per-image step of `run_infer tile
+            # --save_format json` including the json writes (rounds 2-3
+            # skipped output writing), and promoted its MEDIAN to the
+            # headline (rounds 1-3's proxy headline is kept below)
+            "e2e_method": "json-cli-true/median-of-5",
+            "proxy_1kx1k_tiles_per_sec": round(tiles_per_sec, 4),
+        }
+    else:  # never let the honest path sink the bench
+        out = {
+            "metric": "1kx1k_tiles_per_sec_per_chip",
+            "value": round(tiles_per_sec, 4),
+            "unit": "tiles/s",
+            "vs_baseline": round(tiles_per_sec / NORTH_STAR_TILES_PER_SEC,
+                                 4),
+        }
     if dev_ms is not None:
         # link-insensitive readouts (lax.scan K-deltas inside one
         # dispatch): cross-round perf comparisons should use THESE —

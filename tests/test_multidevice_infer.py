@@ -24,6 +24,7 @@ def ckpt(tmp_path_factory):
     return p
 
 
+@pytest.mark.slow
 def test_round_robin_devices_same_results(ckpt):
     from hover_net_tpu.infer.tile import TileInferManager
 

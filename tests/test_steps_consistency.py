@@ -17,6 +17,7 @@ from hover_net_tpu.models import HoVerNet, HoVerNetConfig
 from hover_net_tpu.ops.post_proc_device import proc_np_hv_batch
 
 
+@pytest.mark.slow
 def test_fused_pipeline_matches_staged():
     cfg = HoVerNetConfig(mode="fast", nr_types=5, width=8)
     model = HoVerNet(cfg)

@@ -144,6 +144,7 @@ def test_tile_json_only_mode(tiny_checkpoint, tmp_path):
         (out_all / "qupath" / "img0.tsv").read_bytes()
 
 
+@pytest.mark.slow
 def test_canonical_grid_one_program_for_mixed_sizes(tiny_checkpoint, tmp_path):
     """A directory of heterogeneous image sizes (same canonical grid
     class) must compile exactly one pipeline, and instance maps must

@@ -34,6 +34,7 @@ def make_patches(dirpath, n, rng, size=140, with_type=True):
                 np.concatenate(chans, axis=-1).astype(np.int32))
 
 
+@pytest.mark.slow
 def test_two_phase_training(tmp_path):
     rng = np.random.default_rng(0)
     train_dir = str(tmp_path / "train")

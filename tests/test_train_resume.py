@@ -12,6 +12,7 @@ from hover_net_tpu.train.manager import TrainManager
 from test_train_e2e import make_patches
 
 
+@pytest.mark.slow
 def test_resume_continues_phase(tmp_path):
     rng = np.random.default_rng(0)
     train_dir = str(tmp_path / "train")

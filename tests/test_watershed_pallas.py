@@ -58,6 +58,7 @@ def test_pallas_batched(seed=2):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_blocked_matches_scan_instance_level():
     """Block-decomposed pallas watershed on an 800x700 map: identical
     partition to the scan solve at instance level (flood paths are

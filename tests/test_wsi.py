@@ -53,6 +53,7 @@ def test_array_handler_mag_logic(tmp_path):
     assert region.shape == (50, 50, 3)
 
 
+@pytest.mark.slow
 def test_three_phase_stitching_no_duplicates(tmp_path):
     """Nuclei straddling post-proc tile boundaries are recovered exactly
     once by the phase-2/3 fixing passes."""
@@ -148,6 +149,7 @@ def test_hbm_resident_postproc_matches_mmap(tmp_path):
     assert aji > 0.999, aji
 
 
+@pytest.mark.slow
 def test_wsi_full_pipeline_plumbing(tmp_path):
     """End-to-end on a pseudo-slide with a tiny random model: runs all
     stages and writes the json contract."""
