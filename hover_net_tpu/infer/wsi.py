@@ -750,6 +750,15 @@ class WSIInferManager(base.InferManagerBase):
         groups: Dict[tuple, list] = {}
         for idx in range(boxes.shape[0]):
             tl, br = boxes[idx]
+            in_tl = np.maximum(tl, 0)
+            in_br = np.minimum(br, np.asarray(self.wsi_proc_shape))
+            if (in_br - in_tl).min() <= 0:
+                # no in-slide pixels: the grid generator mirrors the
+                # reference's floor+1 step count (infer/wsi.py:74), which
+                # emits a zero-area trailing row/column when the slide is
+                # an exact tile multiple — and the boundary/cross strips
+                # hung off that phantom row lie entirely outside the slide
+                continue
             _, shape = self._canonical_window(tl, br)
             groups.setdefault(shape, []).append(idx)
 

@@ -98,6 +98,45 @@ def test_three_phase_stitching_no_duplicates(tmp_path):
     assert map_ids == set(mgr.wsi_inst_info.keys())
 
 
+def test_dispatch_skips_degenerate_boxes(tmp_path):
+    """A slide whose size is an exact tile multiple makes the reference's
+    floor+1 grid math (infer/wsi.py:74) emit a trailing row/column of
+    zero-area boxes; _dispatch_post_processing must skip them instead of
+    feeding zero-size windows to the post-proc kernels (regression:
+    ValueError zero-size reduction in minmax_norm)."""
+    from hover_net_tpu.infer.wsi import WSIInferManager
+
+    rng = np.random.default_rng(5)
+    shape = (512, 512)  # exact multiple of the 256 tile
+    inst_gt = _paint_nuclei(shape, rng, 60)
+    hv = gen_instance_hv_map(inst_gt, shape)
+    pred = np.dstack([(inst_gt > 0).astype(np.float32),
+                      hv[..., 0], hv[..., 1]]).astype(np.float32)
+
+    mgr = WSIInferManager.__new__(WSIInferManager)
+    mgr.nr_types = None
+    mgr.tile_shape = 256
+    mgr.ambiguous_size = 32
+    mgr.wsi_proc_shape = np.array(shape)
+    mgr.wsi_mask = np.ones((64, 64), np.uint8)
+    mgr.wsi_inst_info = {}
+    mgr._pred_map_path = str(tmp_path / "pred_map.npy")
+    np.save(mgr._pred_map_path, pred)
+    mgr.wsi_inst_map = np.zeros(shape, np.int32)
+
+    tg, tb, tc = wsi_tile_grids(np.array(shape), np.array([256, 256]), 32)
+    # the degenerate trailing row/column is present in the raw grid
+    assert any((br - tl).min() <= 0 for tl, br in tg)
+    mgr._dispatch_post_processing(tg, mgr._cb_normal_tile, "phase1")
+    mgr._dispatch_post_processing(tb, mgr._cb_fixing_tile, "phase2")
+    mgr._dispatch_post_processing(tc, mgr._cb_fixing_tile, "phase3")
+
+    got = remap_label(mgr.wsi_inst_map)
+    assert got.max() > 0
+    map_ids = set(np.unique(mgr.wsi_inst_map).tolist()) - {0}
+    assert map_ids == set(mgr.wsi_inst_info.keys())
+
+
 def test_hbm_resident_postproc_matches_mmap(tmp_path):
     """The HBM-resident pred-buffer path (device window slices +
     on-device validity masks) produces the same instances as the
