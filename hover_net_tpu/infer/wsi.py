@@ -781,10 +781,24 @@ class WSIInferManager(base.InferManagerBase):
                     if typed else None
                     for k, g in enumerate(geoms)
                 ]
-            for k, idx in enumerate(idxs):
+
+            def extract_one(k):
                 y0, y1, x0, x1 = geoms[k]
                 inst = remap_label(inst_host[k, y0:y1, x0:x1])
-                inst, inst_info = extract_instance_info(inst, tps[k])
+                return extract_instance_info(inst, tps[k])
+
+            # per-window extraction (remap + the native stats/contour
+            # passes — ctypes calls release the GIL) fans out on the
+            # finalize pool; the MUTATING callbacks below stay strictly
+            # sequential, preserving the phase algebra's ordering
+            if ext_pool is not None and len(idxs) > 1:
+                extracted = list(ext_pool.map(extract_one,
+                                              range(len(idxs))))
+            else:
+                extracted = [extract_one(k) for k in range(len(idxs))]
+            for k, idx in enumerate(idxs):
+                y0, y1, x0, x1 = geoms[k]
+                inst, inst_info = extracted[k]
                 tl, br = boxes[idx]
                 if inst_info and not was_exact:
                     # seam guard: instances violating the blocked
@@ -893,22 +907,35 @@ class WSIInferManager(base.InferManagerBase):
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            futs = deque()
-            if not self._pred_dev_mode:
-                for _, sub in batches[:2]:
-                    futs.append(ex.submit(stage_mmap, sub))
-            for i, (shape, sub) in enumerate(batches):
-                staged = None
+        # host-finalize pool: per-window extraction is independent and
+        # CPU-bound; pool size follows the host's cores (the at-scale
+        # host stage is ~21 ms per 1.3 Mpx PER CORE). Callbacks never
+        # run on it — only the pure remap/stats/contour passes do.
+        n_fin = getattr(self, "finalize_workers", 0) or min(
+            8, os.cpu_count() or 1)
+        ext_pool = (ThreadPoolExecutor(max_workers=n_fin)
+                    if n_fin > 1 else None)
+        try:
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                futs = deque()
                 if not self._pred_dev_mode:
-                    staged = futs.popleft().result()
-                    if i + 2 < len(batches):
-                        futs.append(ex.submit(stage_mmap, batches[i + 2][1]))
-                pending.append(dispatch(shape, sub, staged))
-                while len(pending) > inflight:
-                    finalize(pending.pop(0))
-        while pending:
-            finalize(pending.pop(0))
+                    for _, sub in batches[:2]:
+                        futs.append(ex.submit(stage_mmap, sub))
+                for i, (shape, sub) in enumerate(batches):
+                    staged = None
+                    if not self._pred_dev_mode:
+                        staged = futs.popleft().result()
+                        if i + 2 < len(batches):
+                            futs.append(
+                                ex.submit(stage_mmap, batches[i + 2][1]))
+                    pending.append(dispatch(shape, sub, staged))
+                    while len(pending) > inflight:
+                        finalize(pending.pop(0))
+            while pending:
+                finalize(pending.pop(0))
+        finally:
+            if ext_pool is not None:
+                ext_pool.shutdown(wait=False)
         logger.info("%s: %d boxes in %.2fs", desc, boxes.shape[0],
                     time.perf_counter() - start)
 

@@ -22,11 +22,20 @@ _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                     "instance_table.cpp")
 _LIB = None
 _LIB_FAILED = False
+_LIB_LOCK = __import__("threading").Lock()
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_FAILED
     if _LIB is not None:
+        return _LIB
+    with _LIB_LOCK:
+        return _build_lib_locked()
+
+
+def _build_lib_locked() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_FAILED
+    if _LIB is not None:  # raced: another thread built it
         return _LIB
     if _LIB_FAILED:
         return None

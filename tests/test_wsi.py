@@ -137,6 +137,48 @@ def test_dispatch_skips_degenerate_boxes(tmp_path):
     assert map_ids == set(mgr.wsi_inst_info.keys())
 
 
+def test_finalize_pool_matches_sequential(tmp_path):
+    """The host-finalize thread pool (parallel per-window remap/stats/
+    contour extraction) must produce byte-identical results to the
+    sequential path — callbacks stay ordered, only the pure extraction
+    fans out."""
+    from hover_net_tpu.infer.wsi import WSIInferManager
+
+    rng = np.random.default_rng(7)
+    shape = (700, 600)
+    inst_gt = _paint_nuclei(shape, rng, 150)
+    hv = gen_instance_hv_map(inst_gt, shape)
+    pred = np.dstack([(inst_gt > 0).astype(np.float32),
+                      hv[..., 0], hv[..., 1]]).astype(np.float32)
+
+    results = []
+    for workers in (1, 3):
+        mgr = WSIInferManager.__new__(WSIInferManager)
+        mgr.nr_types = None
+        mgr.tile_shape = 256
+        mgr.ambiguous_size = 32
+        mgr.finalize_workers = workers
+        mgr.wsi_proc_shape = np.array(shape)
+        mgr.wsi_mask = np.ones((70, 60), np.uint8)
+        mgr.wsi_inst_info = {}
+        mgr._pred_map_path = str(tmp_path / f"pred_{workers}.npy")
+        np.save(mgr._pred_map_path, pred)
+        mgr.wsi_inst_map = np.zeros(shape, np.int32)
+
+        tg, tb, tc = wsi_tile_grids(np.array(shape), np.array([256, 256]), 32)
+        mgr._dispatch_post_processing(tg, mgr._cb_normal_tile, "p1")
+        mgr._dispatch_post_processing(tb, mgr._cb_fixing_tile, "p2")
+        mgr._dispatch_post_processing(tc, mgr._cb_fixing_tile, "p3")
+        results.append((mgr.wsi_inst_map.copy(), dict(mgr.wsi_inst_info)))
+
+    (map1, info1), (map3, info3) = results
+    assert np.array_equal(map1, map3)
+    assert info1.keys() == info3.keys()
+    for k in info1:
+        assert np.array_equal(info1[k]["contour"], info3[k]["contour"])
+        assert np.allclose(info1[k]["centroid"], info3[k]["centroid"])
+
+
 def test_hbm_resident_postproc_matches_mmap(tmp_path):
     """The HBM-resident pred-buffer path (device window slices +
     on-device validity masks) produces the same instances as the
