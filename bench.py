@@ -159,21 +159,26 @@ def bench_e2e_real_content(size=1000, iters=8):
     # reflects the pipeline. The median is reported alongside so
     # cross-round comparisons aren't at the mercy of one lucky rep
     # (methodology tag: see e2e_method in the output json).
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     rates = []
     try:
         for _ in range(5):
             t0 = time.perf_counter()
-            pending = []
-            for i in range(iters):
-                pending.append((i, mgr.predict_image_async(img)))
-                # 3-deep pipeline: the device tables arrive async, so
-                # the finalize is host-light and the limiter is
-                # dispatch/launch latency — keep enough tiles in
-                # flight to hide it (process_file_list does the same)
-                if len(pending) >= 3:
-                    finalize(*pending.pop(0))
-            while pending:
-                finalize(*pending.pop(0))
+            # CLI-true pipelining (process_file_list): dispatches run on
+            # the main thread, finalize+json-write on ONE worker thread
+            # (ordered), 3 tiles in flight — host extraction overlaps
+            # the IO-bound dispatch RPCs instead of stalling them
+            with ThreadPoolExecutor(max_workers=1) as fin:
+                futs = deque()
+                for i in range(iters):
+                    futs.append(fin.submit(
+                        finalize, i, mgr.predict_image_async(img)))
+                    if len(futs) >= 3:
+                        futs.popleft().result()
+                while futs:
+                    futs.popleft().result()
             rates.append(iters / (time.perf_counter() - t0))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
