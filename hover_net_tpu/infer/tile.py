@@ -357,7 +357,10 @@ class TileInferManager(base.InferManagerBase):
         # stats/contour passes release the GIL and the dispatch RPCs
         # are IO-bound, so the two genuinely overlap even on one core
         # (device idle gap measured ~30 ms/tile with inline finalize).
+        n_failed = 0  # only touched by the main + single worker thread
+
         def _finalize_one(name, img, dev_out, t0):
+            nonlocal n_failed
             try:
                 pred_map, inst_map, inst_info = self.finalize_prediction(
                     img, dev_out, pull_pred_map=save_raw_map,
@@ -370,6 +373,7 @@ class TileInferManager(base.InferManagerBase):
                 logger.info("done %s (%d nuclei, %.2fs)", name,
                             len(inst_info), time.perf_counter() - t0)
             except Exception:
+                n_failed += 1
                 logger.exception("crash on %s", name)
 
         from collections import deque
@@ -402,7 +406,19 @@ class TileInferManager(base.InferManagerBase):
                                         time.perf_counter() - t0)
                             continue
                     except Exception:
+                        n_failed += 1
                         logger.exception("crash on %s", name)
                         continue
                 while futs and (path is None or len(futs) >= depth):
                     futs.popleft().result()
+        # per-image crashes are logged and skipped (reference policy),
+        # but a systematic failure (unwritable output dir, full disk,
+        # every image crashing) must not exit 0 with empty outputs
+        # (ADVICE r4)
+        if n_failed:
+            logger.error("%d/%d images failed", n_failed, len(files))
+            if n_failed == len(files):
+                raise RuntimeError(
+                    f"all {len(files)} images failed post-processing/"
+                    "saving — see tracebacks above")
+        return len(files) - n_failed

