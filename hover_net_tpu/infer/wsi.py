@@ -24,9 +24,11 @@ ones for re-predictions.
 
 Deviation (documented): post-proc windows are read at canonical padded
 sizes (one compile per window class) with real neighbouring content and
-a validity mask, so min-max normalisation sees a slightly larger context
-than the reference's exact crop — negligible at [-1,1] HV ranges, and
-the Sobel window sees true tissue instead of a reflected border.
+a validity mask. Min-max normalisation statistics are restricted to the
+valid box (filters.minmax_norm where=, round 5) — exactly the
+reference's per-crop normalisation — while the Sobel window sees true
+tissue instead of a reflected border (a strict improvement the 3-phase
+stitching tests pin).
 """
 
 from __future__ import annotations

@@ -416,10 +416,16 @@ def proc_np_hv_batch(pred, valid_mask=None, num_levels: int = NUM_LEVELS,
     blb = blb_lab > 0
     blb_f = blb.astype(jnp.float32)
 
-    h_dir = filters.minmax_norm(pred[..., 1])
-    v_dir = filters.minmax_norm(pred[..., 2])
-    sobelh = 1.0 - filters.minmax_norm(filters.sobel_h(h_dir, 21))
-    sobelv = 1.0 - filters.minmax_norm(filters.sobel_v(v_dir, 21))
+    # all four normalisations take their min/max over the VALID region
+    # only (the host oracle normalises over exactly the source crop;
+    # canvas-wide stats over the mirrored extension see sign-flipped
+    # Sobel values the source never produced — filters.minmax_norm)
+    h_dir = filters.minmax_norm(pred[..., 1], where=valid_mask)
+    v_dir = filters.minmax_norm(pred[..., 2], where=valid_mask)
+    sobelh = 1.0 - filters.minmax_norm(filters.sobel_h(h_dir, 21),
+                                       where=valid_mask)
+    sobelv = 1.0 - filters.minmax_norm(filters.sobel_v(v_dir, 21),
+                                       where=valid_mask)
 
     overall = jnp.maximum(sobelh, sobelv)
     overall = overall - (1.0 - blb_f)

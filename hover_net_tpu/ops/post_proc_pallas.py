@@ -442,10 +442,16 @@ def proc_np_hv_blocked(pred, valid_mask=None, num_levels: int = NUM_LEVELS,
     blb = pred[..., 0] >= 0.5
     if valid_mask is not None:
         blb = blb & valid_mask
-    h_dir = filters.minmax_norm(pred[..., 1])
-    v_dir = filters.minmax_norm(pred[..., 2])
-    sobelh = 1.0 - filters.minmax_norm(filters.sobel_h(h_dir, 21))
-    sobelv = 1.0 - filters.minmax_norm(filters.sobel_v(v_dir, 21))
+    # min/max over the VALID region only — see post_proc_device
+    # proc_np_hv_batch and filters.minmax_norm (canvas-wide stats over
+    # a mirrored extension shift the normalisation the host oracle
+    # computes on the source crop)
+    h_dir = filters.minmax_norm(pred[..., 1], where=valid_mask)
+    v_dir = filters.minmax_norm(pred[..., 2], where=valid_mask)
+    sobelh = 1.0 - filters.minmax_norm(filters.sobel_h(h_dir, 21),
+                                       where=valid_mask)
+    sobelv = 1.0 - filters.minmax_norm(filters.sobel_v(v_dir, 21),
+                                       where=valid_mask)
     sob = jnp.maximum(sobelh, sobelv)
     return proc_tail_blocked(
         blb, sob, num_levels=num_levels, marker_min_size=marker_min_size,

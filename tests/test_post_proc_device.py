@@ -165,6 +165,94 @@ def test_device_pipeline_instance_parity_with_host(seed):
         assert aji > 0.95, f"AJI vs host oracle too low: {aji}"
 
 
+def test_mirrored_canvas_norm_parity_with_host():
+    """Post-proc on the mirror-extended canonical canvas must match the
+    host oracle on the source crop EXACTLY in instance count.
+
+    Regression for the round-4 drift tail (AJI 0.746 on dense tiles):
+    an odd-derivative (Sobel) response of mirrored content is
+    sign-flipped relative to the source, so taking the min-max
+    normalisation statistics over the whole canvas instead of the
+    valid source region shifts the energy everywhere and merges/splits
+    markers at the `overall >= 0.4` threshold (measured: 1433 -> 1291
+    instances on drift tile 12). The fix: minmax_norm(where=valid) in
+    proc_np_hv_batch / proc_np_hv_blocked."""
+    from hover_net_tpu.infer.steps import _reflect_pp
+
+    rng = np.random.default_rng(11)
+    # dense enough that several nuclei touch -> markers depend on the
+    # normalised ridge energy, and asymmetric content (bottom-right
+    # quadrant empty) so the mirror changes the canvas statistics
+    inst = np.zeros((96, 96), np.int32)
+    k = 1
+    for _ in range(40):
+        cy, cx = rng.integers(8, 88, 2)
+        if cy > 60 and cx > 60:
+            continue
+        m = _disk((cy, cx), rng.integers(5, 9), (96, 96)) & (inst == 0)
+        if m.sum() > 20:
+            inst[m] = k
+            k += 1
+    pred = make_pred_map(inst)
+
+    canvas = 128
+    full = np.zeros((canvas, canvas, 3), np.float32)
+    full[:96, :96] = pred
+    full[96:, :] = 0.7  # garbage the mirror must overwrite
+    full[:, 96:] = 0.7
+    _, inst_b = _reflect_pp(jnp.asarray(full),
+                            jnp.asarray([96, 96], jnp.int32),
+                            typed=False, exact=True)
+    dev_r = remap_label(np.asarray(inst_b[0])[:96, :96])
+    host_r = remap_label(proc_np_hv(pred))
+    assert dev_r.max() == host_r.max(), (dev_r.max(), host_r.max())
+    aji = get_fast_aji(host_r, dev_r)
+    assert aji > 0.95, f"AJI vs host oracle on mirrored canvas: {aji}"
+
+
+def test_sobel_norm_on_mirrored_canvas_matches_crop():
+    """The normalised Sobel energy computed on the mirror-extended
+    canvas (with where=valid statistics) must match the host formula on
+    the source crop to float noise. The sharp discriminator for the
+    canvas-norm bug: the mirrored extension holds SIGN-FLIPPED Sobel
+    values, so canvas-wide statistics widen the range whenever the
+    source response is asymmetric (measured here: 4.5e-2 max energy
+    shift pre-fix vs 1.2e-7 post-fix)."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    src = 96
+    x = rng.uniform(-1, 1, (src, src)).astype(np.float32)
+    x = cv2.GaussianBlur(x, (9, 9), 0)
+
+    canvas = 128
+    rr = np.arange(canvas)
+    ridx = np.where(rr < src, rr, np.clip(2 * src - 2 - rr, 0, None))
+    mir = x[ridx][:, ridx]
+    valid = (rr < src)[:, None] & (rr < src)[None, :]
+
+    s_host = cv2.Sobel(x, cv2.CV_64F, 1, 0, ksize=21)
+    hn = 1.0 - (s_host - s_host.min()) / (s_host.max() - s_host.min())
+    dn = 1.0 - filters.minmax_norm(
+        filters.sobel_h(jnp.asarray(mir[None]), 21),
+        where=jnp.asarray(valid[None]))
+    np.testing.assert_allclose(
+        np.asarray(dn)[0][:src, :src], hn, atol=1e-5)
+
+
+def test_minmax_norm_where():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    w = np.zeros((2, 16, 16), bool)
+    w[:, :12, :12] = True
+    got = np.asarray(filters.minmax_norm(jnp.asarray(x), where=jnp.asarray(w)))
+    for i in range(2):
+        lo, hi = x[i, :12, :12].min(), x[i, :12, :12].max()
+        np.testing.assert_allclose(got[i], (x[i] - lo) / (hi - lo), rtol=1e-6)
+    # masked region maps through the same affine transform: inside [0,1]
+    assert got[w].min() >= 0.0 and got[w].max() <= 1.0
+
+
 def test_device_pipeline_batched_consistency():
     """Batch of tiles == per-tile results (no cross-sample leakage)."""
     rng = np.random.default_rng(7)
