@@ -20,8 +20,26 @@ from ..models.hovernet import HoVerNet
 
 
 def infer_output(model: HoVerNet, variables, imgs):
-    """Forward + head activations -> [N, h, w, C] concat."""
-    out = model.apply(variables, imgs, train=False)
+    """Forward + head activations -> [N, h, w, C] concat.
+
+    HNT_FUSED_DEC=1 runs the decoder branches as one block-diagonal
+    tower (models/fused_infer.py) — numerically equivalent (<=1e-6
+    relative) but NOT the default: measured on v5e (w64 fast untyped,
+    1000^2 tile, distinct weights) the fused tower is 167.7 ms vs
+    159.6 ms per-branch — the decoders are HBM-bandwidth-bound, so
+    doubling every activation's width doubles the bytes and the
+    MXU-tile packing win never materialises. Kept as an opt-in
+    experiment + the checkpoint-compatible fused-weight machinery."""
+    import os
+
+    if os.environ.get("HNT_FUSED_DEC"):
+        from ..models.fused_infer import fused_decoders_apply
+
+        feats = model.apply(variables, imgs, train=False,
+                            return_feats=True)["feats"]
+        out = fused_decoders_apply(model.cfg, variables, feats)
+    else:
+        out = model.apply(variables, imgs, train=False)
     parts = []
     if "tp" in out:
         tp = jnp.argmax(jax.nn.softmax(out["tp"], axis=-1), axis=-1)

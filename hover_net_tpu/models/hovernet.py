@@ -132,7 +132,8 @@ class HoVerNet(nn.Module):
 
     @nn.compact
     def __call__(self, imgs, train: bool = False,
-                 freeze_encoder: bool = False) -> Dict[str, jax.Array]:
+                 freeze_encoder: bool = False,
+                 return_feats: bool = False) -> Dict[str, jax.Array]:
         cfg = self.cfg
         w, dt = cfg.width, cfg.dtype
 
@@ -169,6 +170,12 @@ class HoVerNet(nn.Module):
         td0 = (2 * (td1[0] - 5 * (k - 1)), 2 * (td1[1] - 5 * (k - 1)))
         d1 = crop_op(d1, (d1.shape[1] - td1[0], d1.shape[2] - td1[1]))
         d0 = crop_op(d0, (d0.shape[1] - td0[0], d0.shape[2] - td0[1]))
+
+        if return_feats:
+            # encoder-only apply for the fused-decoder inference path
+            # (models/fused_infer.py). Never used at init time, so the
+            # parameter tree is unaffected.
+            return {"feats": (d0, d1, d2, d3)}
 
         out = {}
         for name in cfg.branches:
