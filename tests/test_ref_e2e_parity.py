@@ -397,8 +397,12 @@ def test_composed_pipeline_parity(mode, nr_types, tmp_path):
     _, dev_inst, dev_info = _run_ours(
         tar, img, mode, nr_types, device_post_proc=True
     )
+    # floor raised 0.93 -> 0.95 after the round-4 drift fix (masked
+    # min-max stats + HIGHEST-precision Sobel): the round-5 50-tile
+    # sweep measured min AJI 0.9598, p5 0.9624, count delta 0
+    # (PARITY.md, scripts/parity_drift_sweep_r5_tpu.csv)
     _compare(ref_inst, ref_info, dev_inst, dev_info, nr_types,
-             min_aji=0.93, match_iou=0.6)
+             min_aji=0.95, match_iou=0.6)
 
 
 _BENCH_CKPT = os.path.join(
@@ -448,7 +452,8 @@ def test_ref_e2e_parity_trained(tmp_path):
     _compare(ref_inst, ref_info, our_inst, our_info, None, min_aji=0.99)
 
     _, dev_inst, dev_info = _run_ours(tar, img, "fast", None)
-    _compare(ref_inst, ref_info, dev_inst, dev_info, None, min_aji=0.93,
+    # 0.95 floor: see the round-5 drift-sweep note above
+    _compare(ref_inst, ref_info, dev_inst, dev_info, None, min_aji=0.95,
              match_iou=0.6)
 
 
