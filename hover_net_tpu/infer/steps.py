@@ -19,8 +19,42 @@ import jax.numpy as jnp
 from ..models.hovernet import HoVerNet
 
 
-def infer_output(model: HoVerNet, variables, imgs):
+def _use_fused_enc(model: HoVerNet) -> bool:
+    """Static gate for the Pallas fused-block encoder
+    (models/encoder_pallas.py): HNT_FUSED_ENC=1 opt-in, TPU backend,
+    fast mode, MXU-aligned widths, bf16 compute.
+
+    OPT-IN, like the fused decoder: measured on v5e (w64, 49x256^2,
+    K-delta) the fused d0 kernel runs 103.7 ms vs 39.0 ms for XLA's
+    per-conv path — the whole-block VMEM fusion saves the HBM
+    round-trips but loses 2.7x to per-grid-step overhead + narrow
+    (64-wide) in-kernel matmuls at this geometry. Kept as the
+    conv-fusion machinery (bit-exact tiling/masking semantics pinned
+    by tests) and a future-tuning base, not as production default."""
+    import os
+
+    if not os.environ.get("HNT_FUSED_ENC"):
+        return False
+    cfg = model.cfg
+    if cfg.mode != "fast" or (4 * cfg.width) % 128 or cfg.dtype != jnp.bfloat16:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def infer_output(model: HoVerNet, variables, imgs, allow_fused_enc=True):
     """Forward + head activations -> [N, h, w, C] concat.
+
+    On TPU (fast mode, MXU-aligned widths) the encoder runs as fused
+    whole-residual-block Pallas kernels (models/encoder_pallas.py) —
+    each block reads its input once and writes its output once instead
+    of round-tripping the wide activations through HBM per unit.
+    allow_fused_enc=False forces the standard XLA forward — required
+    where GSPMD partitions the program over a mesh (it cannot
+    partition Pallas custom calls; WSI's sharded forward passes False).
 
     HNT_FUSED_DEC=1 runs the decoder branches as one block-diagonal
     tower (models/fused_infer.py) — numerically equivalent (<=1e-6
@@ -38,6 +72,10 @@ def infer_output(model: HoVerNet, variables, imgs):
         feats = model.apply(variables, imgs, train=False,
                             return_feats=True)["feats"]
         out = fused_decoders_apply(model.cfg, variables, feats)
+    elif allow_fused_enc and _use_fused_enc(model):
+        from ..models.encoder_pallas import fused_forward
+
+        out = fused_forward(model.cfg, variables, imgs)
     else:
         out = model.apply(variables, imgs, train=False)
     parts = []

@@ -179,10 +179,16 @@ class WSIInferManager(base.InferManagerBase):
             out_dtype = jnp.float16 if self.pred_map_dtype == np.float16 \
                 else jnp.float32
 
+            # GSPMD cannot partition Pallas custom calls: the sharded
+            # (mesh) forward keeps the standard XLA encoder; the
+            # single-device path uses the fused-block Pallas encoder
+            allow_fused = self.mesh is None
+
             def run(variables, chunk_img, coords):
                 patches = extract_patches(chunk_img, coords, win)
                 # cast on device: halves the D2H transfer for f16 maps
-                return infer_output(model, variables, patches).astype(
+                return infer_output(model, variables, patches,
+                                    allow_fused_enc=allow_fused).astype(
                     out_dtype)
 
             if self.mesh is None:
@@ -210,10 +216,7 @@ class WSIInferManager(base.InferManagerBase):
         """
         fwd = self._forward_batch_fn()
         bs = self.batch_size * self.n_devices
-        if self.mesh is None:
-            dev_img = jnp.asarray(chunk_img)
-        else:
-            dev_img = jax.device_put(chunk_img, replicated(self.mesh))
+        dev_img = self._push_chunk(chunk_img)
         scatter = self._scatter_fn() if out_coords is not None else None
         dustbin = (np.array(self._pred_dev.shape[:2], np.int32)
                    if out_coords is not None else None)
@@ -241,6 +244,17 @@ class WSIInferManager(base.InferManagerBase):
                 pass
             outs.append((out, n))
         return outs
+
+    def _push_chunk(self, chunk_img):
+        """Host->device push of one chunk image (replicated over the
+        mesh when present). No-op on arrays already on device — callers
+        on the prefetch thread push ahead of time so the dispatch loop
+        never blocks on an H2D transfer (double-buffered pushes)."""
+        if isinstance(chunk_img, jax.Array):
+            return chunk_img
+        if self.mesh is None:
+            return jnp.asarray(chunk_img)
+        return jax.device_put(chunk_img, replicated(self.mesh))
 
     def _mesh_variables(self):
         """Weights replicated over the mesh once (cached)."""
@@ -578,9 +592,11 @@ class WSIInferManager(base.InferManagerBase):
         wt.start()
 
         def read_chunk(idx):
-            """Host side of one chunk: mask-select patches + slide read.
-            Runs on a prefetch thread so chunk k+1's read overlaps chunk
-            k's device dispatches (and the writer's pulls)."""
+            """Host side of one chunk: mask-select patches + slide read
+            + the H2D push. Runs on a prefetch thread so chunk k+1's
+            read AND transfer overlap chunk k's device dispatches (and
+            the writer's pulls) — double-buffered pushes instead of the
+            dispatch loop blocking on a synchronous transfer."""
             cinfo = chunk_info[idx]
             sub = select_patches_in_chunk(
                 patch_info, cinfo, (self.cfg.patch_input_shape,) * 2
@@ -592,7 +608,7 @@ class WSIInferManager(base.InferManagerBase):
             read_size = (cinfo[0, 1] - cinfo[0, 0])[::-1]  # (w, h)
             chunk_img = self.wsi_handler.read_region(tl[::-1], read_size)
             rel_in_tl = (sub[:, 0, 0] - tl).astype(np.int32)
-            return tl, chunk_img, rel_in_tl, sub[:, 1, 0]
+            return tl, self._push_chunk(chunk_img), rel_in_tl, sub[:, 1, 0]
 
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -864,7 +880,16 @@ class WSIInferManager(base.InferManagerBase):
                 pad = batch - len(sub)
                 wins += [np.zeros_like(wins[0])] * pad
                 valids += [np.zeros_like(valids[0])] * pad
-            return np.stack(wins), np.stack(valids), geoms, tps
+            # push from the staging thread (double-buffered): the
+            # dispatch loop then never blocks on the window transfer —
+            # batch k+1's H2D streams while batch k's kernel runs.
+            # Mesh runs shard the batch axis here so jit sees the
+            # layout its in_shardings expect (no reshard on dispatch).
+            sh = batch_sharding(self.mesh) if self.mesh is not None else None
+            push = ((lambda a: jax.device_put(a, sh)) if sh is not None
+                    else jnp.asarray)
+            return (push(np.stack(wins)), push(np.stack(valids)),
+                    geoms, tps)
 
         def dispatch(shape, sub, staged):
             n = len(sub)
@@ -892,10 +917,10 @@ class WSIInferManager(base.InferManagerBase):
                 tps = tp_dev[:n] if typed else [None] * n
             else:
                 wins, valids, geoms, tps = staged
-                # device_put is async: the H2D push streams while the
-                # previous batch's kernel runs
+                # wins/valids were pushed by the staging thread two
+                # batches ahead — already device-resident here
                 inst_dev, nlab_dev = self._post_proc_fn(exact=was_exact)(
-                    jnp.asarray(wins), jnp.asarray(valids)
+                    wins, valids
                 )
                 inst_dev = inst_dev[:n]
                 nlab_dev = nlab_dev[:n]
