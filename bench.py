@@ -186,6 +186,60 @@ def bench_e2e_real_content(size=1000, iters=8):
     return rates[-1], rates[len(rates) // 2], n_inst, mgr
 
 
+def bench_e2e_multi_image(mgr, size=1000, iters=10, n_images=5):
+    """Sensitivity variant of the headline: 5 DISTINCT nuclei tiles,
+    read+png-decoded from disk inside the timed loop (the headline
+    feeds one pre-decoded image every rep; this closes the "same image
+    every rep" objection). Median of 3 reps, tiles/s."""
+    import shutil
+    import tempfile
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import cv2
+
+    img_dir = tempfile.mkdtemp(prefix="hnt_bench_imgs_")
+    out_dir = tempfile.mkdtemp(prefix="hnt_bench_multi_")
+    os.makedirs(f"{out_dir}/json", exist_ok=True)
+    paths = []
+    for k in range(n_images):
+        img, _ = synth_nuclei_image(size, size, seed=100 + k)
+        p = f"{img_dir}/tile{k}.png"
+        cv2.imwrite(p, img[..., ::-1])
+        paths.append(p)
+
+    def finalize(k, img, dev_out):
+        pred_map, inst_map, inst_info = mgr.finalize_prediction(
+            img, dev_out, pull_pred_map=False, pull_inst_map=False)
+        mgr._save_outputs(f"m{k}", img, pred_map, inst_map, inst_info,
+                          out_dir, save_format="json")
+
+    # warmup (all grids identical -> one compiled program, already warm)
+    img0 = cv2.imread(paths[0])[..., ::-1]
+    finalize(0, img0, mgr.predict_image_async(img0))
+
+    rates = []
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=1) as fin:
+                futs = deque()
+                for i in range(iters):
+                    img = cv2.imread(paths[i % n_images])[..., ::-1]
+                    futs.append(fin.submit(
+                        finalize, i, img, mgr.predict_image_async(img)))
+                    if len(futs) >= 3:
+                        futs.popleft().result()
+                while futs:
+                    futs.popleft().result()
+            rates.append(iters / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(img_dir, ignore_errors=True)
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
 def bench_device_time(mgr, size=1000):
     """Tunnel-insensitive device ms/tile of the FUSED production tile
     program (the same compiled pipeline the e2e metric dispatches),
@@ -389,7 +443,12 @@ def main():
         e2e_rate, e2e_median, e2e_n, e2e_mgr = None, None, None, None
 
     dev_ms = fwd_flops = None
+    e2e_multi = None
     if e2e_mgr is not None:
+        try:
+            e2e_multi = bench_e2e_multi_image(e2e_mgr)
+        except Exception as exc:
+            print(f"# bench_e2e_multi_image failed: {exc!r}")
         try:
             dev_ms, fwd_flops = bench_device_time(e2e_mgr)
         except Exception as exc:
@@ -412,6 +471,11 @@ def main():
             "e2e_method": "json-cli-true/median-of-5",
             "proxy_1kx1k_tiles_per_sec": round(tiles_per_sec, 4),
         }
+        if e2e_multi is not None:
+            # sensitivity variant: 5 distinct tiles, png decode INSIDE
+            # the timed loop (median of 3) — guards the headline against
+            # the "same pre-decoded image every rep" objection
+            out["e2e_multi_image"] = round(e2e_multi, 4)
     else:  # never let the honest path sink the bench
         out = {
             "metric": "1kx1k_tiles_per_sec_per_chip",
