@@ -155,8 +155,38 @@ def main():
     ms_pp = probe(pp_body, pred)
     print(f"post_proc_ms_per_tile: {ms_pp:.1f}")
 
+    # ---- post-proc PREP only (minmax + Sobel-21 HIGHEST + masks): the
+    # XLA stage ahead of the blocked Pallas kernel — kernel cost is the
+    # difference vs post_proc_ms
+    from hover_net_tpu.ops import filters
+
+    def prep_body(c):
+        blb = (c[..., 0] >= 0.5) & valid
+        h_dir = filters.minmax_norm(c[..., 1], where=valid)
+        v_dir = filters.minmax_norm(c[..., 2], where=valid)
+        sobelh = 1.0 - filters.minmax_norm(filters.sobel_h(h_dir, 21),
+                                           where=valid)
+        sobelv = 1.0 - filters.minmax_norm(filters.sobel_v(v_dir, 21),
+                                           where=valid)
+        sob = jnp.maximum(sobelh, sobelv)
+        s = (jnp.sum(sob) + jnp.sum(blb)) * 1e-30
+        return c + s, s
+
+    ms_prep = probe(prep_body, pred)
+    print(f"pp_prep_ms_per_tile: {ms_prep:.1f}  "
+          f"(blocked kernel ~= {ms_pp - ms_prep:.1f})")
+
     # ---- tables tail (compaction + per-instance stats/COO)
     inst0 = proc_np_hv_batch(pred, valid)
+
+    def compact_body(c):
+        inst, n = compact_labels_u16(c)
+        s = (n[0] % 1000).astype(jnp.float32) * 1e-20 \
+            + inst[0, 0, 0].astype(jnp.float32) * 1e-25
+        return c + s.astype(c.dtype), s
+
+    ms_cmp = probe(compact_body, inst0)
+    print(f"compact_ms_per_tile: {ms_cmp:.1f}")
 
     def tab_body(c):
         inst, n = compact_labels_u16(c)
@@ -171,7 +201,8 @@ def main():
         return c + s.astype(c.dtype), s
 
     ms_tab = probe(tab_body, inst0)
-    print(f"tables_ms_per_tile: {ms_tab:.1f}")
+    print(f"tables_ms_per_tile: {ms_tab:.1f}  "
+          f"(instance_tables ~= {ms_tab - ms_cmp:.1f})")
 
     total = ms + ms_pp + ms_tab
     print(f"TOTAL_device_ms_per_tile: {total:.1f}  "
